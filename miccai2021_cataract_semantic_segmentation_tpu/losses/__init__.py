@@ -1,0 +1,130 @@
+"""Config-driven loss construction (the reference's string-keyed surface).
+
+`build_loss(loss_config, task)` returns a callable
+    loss_fn(outputs: dict, labels, *, epoch=None) -> (total, {term: value})
+where `outputs` holds 'logits' and optionally 'interm_logits' /
+'deep_features' — the functional analogue of the reference's LossWrapper /
+TwoScaleLoss modules (losses/LossWrapper.py, losses/TwoScaleLoss.py).
+
+Registry names match the reference config vocabulary: CrossEntropyLoss,
+LovaszSoftmax, OhemCrossEntropy, FocalLoss, GenDiceLoss, SoftIoU,
+TwoScaleLoss, LossWrapper.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import resize_bilinear
+from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (  # noqa: F401
+    cross_entropy, per_pixel_cross_entropy, lovasz_softmax, ohem_cross_entropy,
+    focal_loss, generalized_dice, soft_iou,
+)
+
+
+def _single_loss(name: str, cfg: dict, task: int):
+    """A (logits, labels) -> scalar closure for one named loss."""
+    ign = taxonomy.ignore_index(task)
+    if name == "CrossEntropyLoss":
+        w = cfg.get("weights")
+        return lambda lg, lb: cross_entropy(lg, lb, ignore_index=ign, class_weights=w)
+    if name == "LovaszSoftmax":
+        return lambda lg, lb: lovasz_softmax(
+            lg, lb,
+            classes_to_consider=cfg.get("classes_to_consider", "present"),
+            classes_to_ignore=cfg.get("classes_to_ignore"),
+            per_image=cfg.get("per_image", False))
+    if name == "OhemCrossEntropy":
+        return lambda lg, lb: ohem_cross_entropy(
+            lg, lb, ignore_index=ign,
+            thresh=cfg.get("thresh", 0.7),
+            min_kept=max(1, cfg.get("min_kept", 100_000)))
+    if name == "FocalLoss":
+        return lambda lg, lb: focal_loss(
+            lg, lb, gamma=cfg.get("gamma", 2.0), alpha=cfg.get("alpha"),
+            ignore_index=cfg.get("ignore_index", -1))
+    if name == "GenDiceLoss":
+        return lambda lg, lb: generalized_dice(
+            lg, lb, weights=cfg.get("weights"), naive=cfg.get("naive", False))
+    if name == "SoftIoU":
+        return lambda lg, lb: soft_iou(lg, lb, naive=cfg.get("naive", False))
+    raise ValueError(f"Loss '{name}' not recognised")
+
+
+def build_two_scale(cfg: dict, task: int):
+    """TwoScaleLoss: weighted interm+final same-loss pair (TwoScaleLoss.py:9-52).
+
+    The intermediate logits are bilinearly upsampled to label resolution with
+    align_corners=False (torch F.upsample's default in the reference)."""
+    interm_cfg = dict(cfg.get("interm", {"name": "CrossEntropyLoss"}))
+    final_cfg = dict(cfg.get("final", {"name": "CrossEntropyLoss"}))
+    w_interm = interm_cfg.get("weight", 0.4)
+    w_final = final_cfg.get("weight", 1.0)
+    interm_fn = _single_loss(interm_cfg["name"], interm_cfg, task)
+    final_fn = _single_loss(final_cfg["name"], final_cfg, task)
+
+    def loss_fn(interm_logits, final_logits, labels):
+        h, w = labels.shape[-2:]
+        if interm_logits.shape[1:3] != (h, w):
+            interm_logits = resize_bilinear(interm_logits, (h, w), align_corners=False)
+        return (w_final * final_fn(final_logits, labels)
+                + w_interm * interm_fn(interm_logits, labels))
+
+    return loss_fn
+
+
+def build_loss(loss_config: dict, task: int):
+    """Top-level factory keyed by loss_config['name'] (BaseManager.py:422-437).
+
+    Returns loss_fn(outputs, labels, epoch=None) -> (total, term_dict).
+    `outputs` is the model's output dict: {'logits', 'interm_logits'?,
+    'deep_features'?}.
+    """
+    name = loss_config.get("name", "CrossEntropyLoss")
+    cfg = dict(loss_config)
+    cfg.setdefault("experiment", task)
+
+    if name == "LossWrapper":
+        weightings = cfg["losses"]  # {loss name: weight}
+        dc_off_at = cfg.get("dc_off_at_epoch")
+        terms = {}
+        for lname in weightings:
+            if lname == "TwoScaleLoss":
+                terms[lname] = build_two_scale(cfg.get("TwoScaleLoss", cfg), task)
+            else:
+                terms[lname] = _single_loss(lname, cfg.get(lname, cfg), task)
+
+        def wrapper_fn(outputs, labels, epoch=None):
+            total = jnp.float32(0.0)
+            vals = {}
+            for lname, weight in weightings.items():
+                if lname == "TwoScaleLoss":
+                    v = terms[lname](outputs["interm_logits"], outputs["logits"], labels)
+                elif lname == "LovaszSoftmax" and dc_off_at is not None \
+                        and epoch is not None and epoch < dc_off_at:
+                    v = jnp.float32(0.0)  # phase switching (LossWrapper.py:45-50)
+                else:
+                    v = terms[lname](outputs["logits"], labels)
+                v = v * weight
+                vals[lname] = v
+                total = total + v
+            return total, vals
+
+        return wrapper_fn
+
+    if name == "TwoScaleLoss":
+        ts = build_two_scale(cfg, task)
+
+        def two_scale_fn(outputs, labels, epoch=None):
+            v = ts(outputs["interm_logits"], outputs["logits"], labels)
+            return v, {"TwoScaleLoss": v}
+
+        return two_scale_fn
+
+    single = _single_loss(name, cfg, task)
+
+    def single_fn(outputs, labels, epoch=None):
+        v = single(outputs["logits"], labels)
+        return v, {name: v}
+
+    return single_fn

@@ -1,0 +1,249 @@
+"""Jittable segmentation losses (NHWC logits, NHW integer labels).
+
+Re-derivations of the reference loss zoo under XLA's static-shape rules:
+
+  * Lovász-Softmax (losses/LovaszSoftmax.py): the data-dependent "classes
+    present" filter becomes a presence-masked mean over a fixed class loop;
+    dropped "ignore" pixels become (fg=0, error=0) entries which sort to the
+    tail and multiply zero error — provably identical loss value.
+  * OHEM CE (losses/OhemCrossEntropy.py): the data-dependent keep-set becomes
+    sort + dynamic-index threshold + weight mask (fixed shapes throughout).
+  * Focal / generalised Dice / SoftIoU: direct masked-mean ports.
+
+All reductions return f32 scalars. Class loops are Python loops over a static
+class count — they unroll into one fused XLA computation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _flatten_logits(logits: Array) -> Array:
+    return logits.reshape(-1, logits.shape[-1])
+
+
+def cross_entropy(logits: Array, labels: Array, ignore_index: int = -1,
+                  class_weights: Array | None = None) -> Array:
+    """torch.nn.CrossEntropyLoss semantics (mean over non-ignored pixels,
+    class-weighted mean if weights given)."""
+    num_classes = logits.shape[-1]
+    lp = jax.nn.log_softmax(_flatten_logits(logits).astype(jnp.float32), axis=-1)
+    lbl = labels.reshape(-1)
+    valid = (lbl != ignore_index) if ignore_index >= 0 else jnp.ones_like(lbl, jnp.bool_)
+    safe = jnp.clip(lbl, 0, num_classes - 1)
+    nll = -jnp.take_along_axis(lp, safe[:, None], axis=-1)[:, 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[safe] * valid
+    else:
+        w = valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def per_pixel_cross_entropy(logits: Array, labels: Array,
+                            ignore_index: int = -1) -> tuple[Array, Array]:
+    """(per-pixel NLL, valid mask), both flattened — building block for OHEM."""
+    num_classes = logits.shape[-1]
+    lp = jax.nn.log_softmax(_flatten_logits(logits).astype(jnp.float32), axis=-1)
+    lbl = labels.reshape(-1)
+    valid = (lbl != ignore_index) if ignore_index >= 0 else jnp.ones_like(lbl, jnp.bool_)
+    safe = jnp.clip(lbl, 0, num_classes - 1)
+    nll = -jnp.take_along_axis(lp, safe[:, None], axis=-1)[:, 0]
+    return nll, valid
+
+
+# ---------------------------------------------------------------------------
+# Lovász-Softmax
+# ---------------------------------------------------------------------------
+
+def _lovasz_grad_from_sorted(fg_sorted: Array) -> Array:
+    """Gradient of the Lovász extension w.r.t. sorted errors (Alg. 1).
+
+    fg_sorted: (..., P) sorted foreground indicators. Returns (..., P).
+    """
+    gts = jnp.sum(fg_sorted, axis=-1, keepdims=True)
+    intersection = gts - jnp.cumsum(fg_sorted, axis=-1)
+    union = gts + jnp.cumsum(1.0 - fg_sorted, axis=-1)
+    jaccard = 1.0 - intersection / union
+    # first-difference along the pixel axis, keeping element 0
+    return jnp.concatenate(
+        [jaccard[..., :1], jaccard[..., 1:] - jaccard[..., :-1]], axis=-1)
+
+
+def _lovasz_flat(probs: Array, labels: Array, valid: Array,
+                 class_mask: Array) -> Array:
+    """Lovász-Softmax on flattened (P, C) probs / (P,) labels.
+
+    `valid` (P,) masks pixels out entirely; `class_mask` (C,) masks which
+    class channels participate in the average ('all' -> ones; a subset list
+    -> indicator; the 'present' filter is applied on top dynamically).
+    """
+    num_classes = probs.shape[-1]
+    fg = (labels[:, None] == jnp.arange(num_classes)[None, :]).astype(jnp.float32)
+    fg = fg * valid[:, None].astype(jnp.float32)
+    errors = jnp.abs(fg - probs.astype(jnp.float32))
+    errors = errors * valid[:, None]  # dropped pixels: error 0, fg 0
+    # descending sort per class: one batched lax.sort over (C, P)
+    errors_t, fg_t = -errors.T, fg.T
+    errors_sorted, fg_sorted = jax.lax.sort((errors_t, fg_t), dimension=1,
+                                            num_keys=1)
+    errors_sorted = -errors_sorted
+    grad = _lovasz_grad_from_sorted(fg_sorted)
+    per_class = jnp.sum(errors_sorted * grad, axis=-1)  # (C,)
+    present = (jnp.sum(fg, axis=0) > 0).astype(jnp.float32)
+    m = class_mask.astype(jnp.float32) * present
+    return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def lovasz_softmax(logits: Array, labels: Array,
+                   classes_to_consider=None,
+                   classes_to_ignore: int | None = None,
+                   per_image: bool = False) -> Array:
+    """Multi-class Lovász-Softmax (reference losses/LovaszSoftmax.py:19-95).
+
+    `classes_to_consider`: None/'present' (default) averages over classes
+    present in the labels; 'all' over every channel; or an explicit id list.
+    `classes_to_ignore`: a label value whose pixels are excluded entirely
+    (the exp-2/3 ignore id). Default None matches the reference's default
+    config, where ignore pixels count as background for every class.
+    """
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if classes_to_consider in (None, "present", "all"):
+        class_mask = jnp.ones(num_classes)
+    else:
+        class_mask = jnp.zeros(num_classes).at[jnp.asarray(classes_to_consider)].set(1.0)
+    force_all = classes_to_consider == "all"
+
+    def flat(p, l):
+        v = (l != classes_to_ignore) if classes_to_ignore is not None \
+            else jnp.ones_like(l, jnp.bool_)
+        if force_all:
+            # 'all': no presence filter — emulate by passing full mask and
+            # overriding presence with validity of the class list only
+            return _lovasz_flat_all(p.reshape(-1, num_classes), l.reshape(-1),
+                                    v.reshape(-1), class_mask)
+        return _lovasz_flat(p.reshape(-1, num_classes), l.reshape(-1),
+                            v.reshape(-1), class_mask)
+
+    if per_image:
+        return jnp.mean(jax.vmap(flat)(probs, labels))
+    return flat(probs, labels)
+
+
+def _lovasz_flat_all(probs, labels, valid, class_mask):
+    num_classes = probs.shape[-1]
+    fg = (labels[:, None] == jnp.arange(num_classes)[None, :]).astype(jnp.float32)
+    fg = fg * valid[:, None].astype(jnp.float32)
+    errors = jnp.abs(fg - probs.astype(jnp.float32)) * valid[:, None]
+    errors_sorted, fg_sorted = jax.lax.sort((-errors.T, fg.T), dimension=1, num_keys=1)
+    grad = _lovasz_grad_from_sorted(fg_sorted)
+    per_class = jnp.sum(-errors_sorted * grad, axis=-1)
+    m = class_mask.astype(jnp.float32)
+    return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# OHEM cross-entropy
+# ---------------------------------------------------------------------------
+
+def ohem_cross_entropy(logits: Array, labels: Array, ignore_index: int = -1,
+                       thresh: float = 0.7, min_kept: int = 100_000) -> Array:
+    """Online hard-example mining CE (reference losses/OhemCrossEntropy.py).
+
+    Keeps pixels whose ground-truth-class probability is below
+    max(thresh, k-th smallest valid probability), k = min_kept; averages
+    their CE. Static shapes: invalid pixels get prob=2.0 so they sort last
+    and can never pass the `< threshold` test.
+    """
+    nll, valid = per_pixel_cross_entropy(logits, labels, ignore_index)
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(_flatten_logits(logits).astype(jnp.float32), axis=-1)
+    safe = jnp.clip(labels.reshape(-1), 0, num_classes - 1)
+    p_gt = jnp.take_along_axis(probs, safe[:, None], axis=-1)[:, 0]
+    p_gt = jnp.where(valid, p_gt, 2.0)
+    sorted_p = jnp.sort(p_gt)
+    n_valid = jnp.sum(valid)
+    k = jnp.clip(jnp.minimum(jnp.int32(min_kept), n_valid - 1), 0, p_gt.size - 1)
+    min_value = sorted_p[k]
+    threshold = jnp.maximum(min_value, thresh)
+    keep = valid & (p_gt < threshold)
+    kw = keep.astype(jnp.float32)
+    return jnp.sum(nll * kw) / jnp.maximum(jnp.sum(kw), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Focal loss
+# ---------------------------------------------------------------------------
+
+def focal_loss(logits: Array, labels: Array, gamma: float = 2.0,
+               alpha: Array | None = None, ignore_index: int = -1) -> Array:
+    """Focal loss (reference losses/FocalLoss.py). Mean over pixels; optional
+    per-class alpha weights; optional ignore masking (the reference has no
+    ignore handling — pass ignore_index=-1 for exact parity on task 1)."""
+    num_classes = logits.shape[-1]
+    lp = jax.nn.log_softmax(_flatten_logits(logits).astype(jnp.float32), axis=-1)
+    lbl = labels.reshape(-1)
+    valid = (lbl != ignore_index) if ignore_index >= 0 else jnp.ones_like(lbl, jnp.bool_)
+    safe = jnp.clip(lbl, 0, num_classes - 1)
+    logpt = jnp.take_along_axis(lp, safe[:, None], axis=-1)[:, 0]
+    pt = jnp.exp(logpt)
+    if alpha is not None:
+        logpt = logpt * jnp.asarray(alpha, jnp.float32)[safe]
+    loss = -((1.0 - pt) ** gamma) * logpt
+    v = valid.astype(jnp.float32)
+    return jnp.sum(loss * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Generalised Dice / Soft IoU
+# ---------------------------------------------------------------------------
+
+def _one_hot_real_classes(labels: Array, num_classes: int) -> Array:
+    """One-hot over the real class channels; ignore pixels (id==num_classes)
+    produce all-zero rows — equivalent to the reference's "one-hot over C+1
+    then drop the last column" (GenDiceLoss.py:22-27)."""
+    return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+
+def generalized_dice(logits: Array, labels: Array, weights=None,
+                     naive: bool = False) -> Array:
+    """Generalised Dice loss (Sudre et al. 2017; reference losses/GenDiceLoss.py)."""
+    num_classes = logits.shape[-1]
+    pred = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    target = _one_hot_real_classes(labels.reshape(-1), num_classes)
+    pred = pred.reshape(-1, num_classes)
+    dividend = jnp.sum(pred * target, axis=0)
+    divisor = jnp.sum(pred + target, axis=0)
+    if weights is not None:
+        if isinstance(weights, str) and weights == "auto":
+            w = jnp.sum(target, axis=0) ** 2
+            w = 1.0 / jnp.where(w == 0, 1.0, w)
+        else:
+            w = jnp.asarray(weights, jnp.float32)
+        dividend = dividend * w
+        divisor = divisor * w
+    frac = dividend / jnp.where(divisor == 0, 1.0, divisor)
+    if naive:
+        mean = jnp.mean(frac)
+    else:
+        present = (divisor != 0).astype(jnp.float32)
+        mean = jnp.sum(frac * present) / jnp.maximum(jnp.sum(present), 1.0)
+    return 1.0 - 2.0 * mean
+
+
+def soft_iou(logits: Array, labels: Array, naive: bool = False) -> Array:
+    """Soft (probabilistic) IoU, negative mean over present classes
+    (reference losses/SoftIoU.py)."""
+    num_classes = logits.shape[-1]
+    pred = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).reshape(-1, num_classes)
+    target = _one_hot_real_classes(labels.reshape(-1), num_classes)
+    inter = jnp.sum(pred * target, axis=0)
+    union = jnp.sum(pred + target - pred * target, axis=0)
+    frac = inter / jnp.where(union == 0, 1.0, union)
+    if naive:
+        return -jnp.mean(frac)
+    present = (union != 0).astype(jnp.float32)
+    return -jnp.sum(frac * present) / jnp.maximum(jnp.sum(present), 1.0)
