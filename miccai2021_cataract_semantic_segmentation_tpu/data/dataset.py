@@ -1,0 +1,133 @@
+"""Frame datasets: the host side of the input pipeline.
+
+`SegDataset` is the DatasetFromDF equivalent (datasets/Dataset_from_df.py):
+index -> (img uint8 HWC RGB, lbl uint8 HW in *network* label space, meta).
+Decoding uses cv2 (C++-backed libjpeg/libpng, same engine the reference
+used); the canonical->task remap happens here as a numpy LUT so the device
+only ever sees dense ids. `preload=True` decodes the full split into host
+RAM once (the 4,670-frame set fits comfortably — SURVEY.md §7 hard-parts).
+
+`VideoDataset` streams frames from mp4 files for video inference
+(datasets/Dataset_from_video.py): global index -> (frame u8, frame_idx,
+vid_id), resized to 540x960.
+"""
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pandas as pd
+
+from miccai2021_cataract_semantic_segmentation_tpu.ops.remap import remap_mask_np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+
+def _read_image(path: pathlib.Path) -> np.ndarray:
+    img = cv2.imread(str(path))
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _read_label(path: pathlib.Path) -> np.ndarray:
+    lbl = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+    if lbl is None:
+        raise FileNotFoundError(path)
+    return lbl
+
+
+def _normalise_rel_path(p: str) -> pathlib.PurePosixPath:
+    """The frame table may contain Windows-style separators
+    (Dataset_from_df.py:36-47)."""
+    return pathlib.PurePosixPath(str(p).replace("\\", "/"))
+
+
+class SegDataset:
+    def __init__(self, df: pd.DataFrame, task: int, data_path: str | None = None,
+                 preload: bool = False):
+        self.df = df
+        self.task = task
+        self.data_path = pathlib.Path(data_path) if data_path else None
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] | None = None
+        if preload:
+            self._cache = {i: self._load(i) for i in range(len(df))}
+
+    def __len__(self):
+        return len(self.df)
+
+    def _resolve(self, rel: str) -> pathlib.Path:
+        rel = _normalise_rel_path(rel)
+        return (self.data_path / rel) if self.data_path else pathlib.Path(rel)
+
+    def _load(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        row = self.df.iloc[idx]
+        img = _read_image(self._resolve(row["img_path"]))
+        lbl = _read_label(self._resolve(row["lbl_path"]))
+        lbl = remap_mask_np(lbl, self.task, to_network=True)
+        return img, lbl
+
+    def __getitem__(self, idx: int):
+        if self._cache is not None:
+            img, lbl = self._cache[idx]
+        else:
+            img, lbl = self._load(idx)
+        meta = {"index": idx, "vid_num": int(self.df.iloc[idx].get("vid_num", -1))}
+        return img, lbl, meta
+
+
+class ArrayDataset:
+    """In-memory dataset (synthetic data, tests, benchmarking) with the same
+    interface as SegDataset."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert len(images) == len(labels)
+        self.images, self.labels = images, labels
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx: int):
+        return self.images[idx], self.labels[idx], {"index": idx, "vid_num": -1}
+
+
+class VideoDataset:
+    """Streams frames from a list of video files by global frame index
+    (datasets/Dataset_from_video.py:29-61). Handles are opened lazily per
+    worker; frames are BGR->RGB converted and resized to (height, width)."""
+
+    def __init__(self, video_paths: list[str], height: int = 540, width: int = 960):
+        self.video_paths = [str(v) for v in video_paths]
+        self.height, self.width = height, width
+        self.frame_counts = []
+        for v in self.video_paths:
+            cap = cv2.VideoCapture(v)
+            self.frame_counts.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+            cap.release()
+        self.offsets = np.cumsum([0] + self.frame_counts)
+        self._caps: dict[int, "cv2.VideoCapture"] = {}
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def locate(self, idx: int) -> tuple[int, int]:
+        vid = int(np.searchsorted(self.offsets, idx, side="right") - 1)
+        return vid, int(idx - self.offsets[vid])
+
+    def __getitem__(self, idx: int):
+        vid, frame_idx = self.locate(idx)
+        cap = self._caps.get(vid)
+        if cap is None:
+            cap = self._caps[vid] = cv2.VideoCapture(self.video_paths[vid])
+        if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != frame_idx:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+        ok, frame = cap.read()
+        if not ok:
+            raise IOError(f"failed to read frame {frame_idx} of {self.video_paths[vid]}")
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if frame.shape[:2] != (self.height, self.width):
+            frame = cv2.resize(frame, (self.width, self.height))
+        return frame, frame_idx, vid

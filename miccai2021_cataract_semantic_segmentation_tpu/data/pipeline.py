@@ -1,0 +1,95 @@
+"""Batch pipeline: sampler -> host transforms -> pinned numpy batch ->
+sharded device arrays, with background-thread prefetch.
+
+TPU-first replacement for the reference's DataLoader-worker model
+(BaseManager.py:286-405): the host assembles raw uint8 batches (cheap), all
+photometric augmentation runs fused on device (ops/augment.py), and a small
+prefetch queue overlaps host assembly + H2D transfer with the device step.
+Epochs are padded (wrapping) or trimmed to a static number of steps so the
+jitted train step sees a fixed batch count — repeat-factor epochs have
+stochastic length (SURVEY.md §7 hard-parts).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import jax
+import numpy as np
+
+
+def pad_or_trim_batches(batches: np.ndarray, steps: int | None) -> np.ndarray:
+    """(n, B) index batches -> exactly `steps` batches by wrap-around."""
+    if steps is None or len(batches) == steps:
+        return batches
+    if len(batches) > steps:
+        return batches[:steps]
+    reps = -(-steps // max(len(batches), 1))
+    return np.concatenate([batches] * reps)[:steps]
+
+
+def assemble_batch(dataset, indices, pipeline=None, rng=None):
+    """Stack dataset items into (images u8 NHWC, labels u8 NHW, idx i32 N)."""
+    imgs, lbls = [], []
+    for i in indices:
+        img, lbl, _meta = dataset[int(i)]
+        if pipeline is not None and pipeline.host_train:
+            img, lbl = pipeline.apply_host(img, lbl, rng)
+        imgs.append(img)
+        lbls.append(lbl)
+    return (np.stack(imgs), np.stack(lbls).astype(np.int32),
+            np.asarray(indices, dtype=np.int32))
+
+
+def device_put_batch(batch, sharding=None):
+    if sharding is None:
+        return jax.device_put(batch)
+    return jax.device_put(batch, sharding)
+
+
+class Prefetcher:
+    """Runs batch assembly + device_put on a worker thread, keeping up to
+    `depth` device batches in flight (double-buffering by default)."""
+
+    def __init__(self, batch_iter: Iterator, depth: int = 2, sharding=None):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.sharding = sharding
+        self._err = None
+
+        def work():
+            try:
+                for b in batch_iter:
+                    self.q.put(device_put_batch(b, self.sharding))
+            except Exception as e:  # surface worker errors at the consumer
+                self._err = e
+            finally:
+                self.q.put(None)
+
+        self.thread = threading.Thread(target=work, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+def epoch_iterator(dataset, batches: np.ndarray, pipeline=None, seed: int = 0,
+                   sharding=None, prefetch: int = 2):
+    """Yield device-resident (images, labels, indices) batches for one epoch."""
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        for idx in batches:
+            yield assemble_batch(dataset, idx, pipeline, rng)
+
+    if prefetch > 0:
+        yield from Prefetcher(gen(), depth=prefetch, sharding=sharding)
+    else:
+        for b in gen():
+            yield device_put_batch(b, sharding)

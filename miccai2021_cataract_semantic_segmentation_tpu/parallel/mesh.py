@@ -1,0 +1,56 @@
+"""Mesh + sharding runtime — the framework's parallelism layer.
+
+The reference is single-GPU (SURVEY.md §2.7: no DP/TP/PP anywhere); here
+parallelism is a first-class component:
+
+  * `make_mesh(('data',))` lays all local devices on a data axis (ICI).
+  * Batches are sharded over 'data' via NamedSharding; the jitted train
+    step runs SPMD and XLA inserts the gradient all-reduce (psum) and the
+    CxC confusion-matrix reduction automatically from the shardings.
+  * A second 'model' axis is supported for spatial sharding of the conv
+    graph (HRNet-scale activations at 540x960 can exceed per-chip HBM at
+    large batch): shard the H dimension of activations; XLA SPMD emits the
+    halo exchanges for convolutions.
+  * Multi-host: call `jax.distributed.initialize()` before `make_mesh`; the
+    mesh then spans all processes and per-host input pipelines feed their
+    local shard via `jax.make_array_from_process_local_data`.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_names: tuple[str, ...] = ("data",),
+              shape: tuple[int, ...] | None = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """NHWC activations sharded along H over the model axis (spatial TP)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh | None, axis: str = "data"):
+    """Device-put a (possibly nested) host batch with batch-dim sharding."""
+    if mesh is None:
+        return jax.device_put(batch)
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

@@ -57,9 +57,11 @@ TASK_GROUPS: dict[int, dict[int, tuple[int, ...]]] = {
         14: (16, 23),                # Secondary Knife
         15: (17,),                   # Micromanipulator
         16: (19,),                   # Cap. Forceps
+        IGNORE_VALUE: (25, 26, 29, 30, 31, 34, 35),
     },
     3: {
         **{i: (i,) for i in range(25)},
+        IGNORE_VALUE: (25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35),
     },
 }
 
@@ -220,5 +222,8 @@ def task_colormap(task: int) -> np.ndarray:
     n = num_label_values(task)
     cmap = np.zeros((n, 3), dtype=np.uint8)
     for task_id, canon_ids in TASK_GROUPS[task].items():
-        cmap[task_id] = CADIS_COLORMAP[canon_ids[0]]
+        if task_id == IGNORE_VALUE:
+            cmap[n - 1] = 0  # ignore renders black (utils/utils.py:60-61)
+        else:
+            cmap[task_id] = CADIS_COLORMAP[canon_ids[0]]
     return cmap

@@ -1,0 +1,160 @@
+"""The jitted train / eval steps — the hot loop of the framework.
+
+One fused XLA program per step: uint8 batch -> on-device augmentation ->
+forward (bf16-capable) -> loss -> grads -> Adam update -> device-side
+metric accumulation. No per-step host syncs (the reference's per-batch
+`.item()` logging pattern, OCRNet_Manager.py:101-123, is the anti-pattern
+this design removes — metrics live on device and are fetched every N steps).
+
+Data parallelism: inputs arrive sharded over the mesh 'data' axis; under
+jit, XLA emits the gradient all-reduce and confusion-matrix reduction from
+the sharding alone (GSPMD) — batch statistics of BatchNorm are computed
+over the *global* batch, i.e. sync-BN semantics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import cross_entropy
+from miccai2021_cataract_semantic_segmentation_tpu.models.pointrend import point_sample
+from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import augment_batch
+from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import confusion_matrix
+
+
+def _point_loss(outputs, labels, task: int):
+    """PointRend auxiliary CE on the sampled points (EncDec_Manager.py:158-178):
+    labels nearest-sampled at point_coords, CE with the task ignore index."""
+    coords = outputs["point_coords"]
+    lbl_f = labels[..., None].astype(jnp.float32)
+    # nearest sampling == bilinear on a one-channel label grid rounded;
+    # replicate torch grid_sample(mode='nearest') by rounding coords to cells
+    n, h, w, _ = lbl_f.shape
+    xi = jnp.clip(jnp.floor(coords[..., 0] * w), 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(jnp.floor(coords[..., 1] * h), 0, h - 1).astype(jnp.int32)
+    flat = labels.reshape(n, h * w)
+    point_lbl = jnp.take_along_axis(flat, yi * w + xi, axis=1)
+    return cross_entropy(outputs["point_logits"], point_lbl,
+                         ignore_index=taxonomy.ignore_index(task))
+
+
+def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
+    """Per-data-shard loss via shard_map: each device computes loss_fn over
+    its LOCAL batch shard and the scalars are pmean'd over the axis.
+
+    This is the DDP-equivalent semantics (each replica's loss over its local
+    batch) and the TPU-critical optimisation for sort-based losses: the
+    batch-flattened Lovász sort would otherwise make GSPMD all-gather the
+    full logits across chips (~285 MB/chip at 544x960x17 bs8) and run a
+    global sort — per-shard sorting keeps all data local to each chip.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def apply(outputs, lbl, epoch):
+        def local(outputs, lbl, epoch):
+            total, terms = loss_fn(outputs, lbl, epoch=epoch)
+            total = jax.lax.pmean(total, data_axis)
+            terms = jax.tree.map(lambda t: jax.lax.pmean(t, data_axis), terms)
+            return total, terms
+
+        in_specs = (jax.tree.map(lambda _: P(data_axis), outputs),
+                    P(data_axis), P())
+        return shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=(P(), P()))(outputs, lbl, epoch)
+
+    return apply
+
+
+def make_train_step(loss_fn: Callable, spec, task: int,
+                    has_point_head: bool = False, donate: bool = True,
+                    mesh=None, data_axis: str = "data"):
+    """Build the jitted train step.
+
+    loss_fn: (outputs dict, labels, epoch) -> (total, terms) from
+    losses.build_loss. `spec` is the DeviceAugmentSpec (static). When `mesh`
+    is given, the loss runs per data shard under shard_map (see
+    _sharded_loss); the model fwd/bwd stays GSPMD-partitioned.
+    """
+    compute_loss = (_sharded_loss(loss_fn, mesh, data_axis) if mesh is not None
+                    else (lambda outputs, lbl, epoch:
+                          loss_fn(outputs, lbl, epoch=epoch)))
+
+    def step(state, images_u8, labels_u8, rng, epoch):
+        rng = jax.random.fold_in(rng, state.step)
+        aug_rng, points_rng, dropout_rng = jax.random.split(rng, 3)
+        x, lbl = augment_batch(aug_rng, images_u8, labels_u8, spec, True)
+
+        def loss_of(params):
+            outputs, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, True, mutable=["batch_stats"],
+                rngs={"points": points_rng, "dropout": dropout_rng})
+            total, terms = compute_loss(outputs, lbl, epoch)
+            if has_point_head and "point_logits" in outputs:
+                p_loss = _point_loss(outputs, lbl, task)
+                terms = {**terms, "point_loss": p_loss}
+                total = total + p_loss
+            return total, (terms, mutated["batch_stats"], outputs)
+
+        (loss, (terms, new_stats, outputs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        cm = confusion_matrix(outputs["logits"], lbl)
+        metrics = {"loss": loss, **terms, "confusion_matrix": cm,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_eval_step(spec, num_classes: int):
+    """Jitted eval step: pad (valid pipeline) -> forward -> confusion matrix.
+    Returns (logits, cm) so callers can also image-log predictions."""
+
+    def step(state, images_u8, labels_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        lbl = labels_u8.astype(jnp.int32)
+        if spec is not None and getattr(spec, "pad", False):
+            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import pad_reflect_hw
+            x = pad_reflect_hw(x)
+            lbl = pad_reflect_hw(lbl)
+        if spec is not None and getattr(spec, "normalise", False):
+            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD
+            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, False)
+        logits = outputs["logits"]
+        cm = confusion_matrix(logits, lbl)
+        return logits, lbl, cm
+
+    return jax.jit(step)
+
+
+def make_eval_loss_step(loss_fn, spec):
+    """Eval step that also computes the validation loss (managers' validate
+    loops log valid loss for best-loss checkpointing)."""
+
+    def step(state, images_u8, labels_u8, epoch):
+        x = images_u8.astype(jnp.float32) / 255.0
+        lbl = labels_u8.astype(jnp.int32)
+        if spec is not None and getattr(spec, "pad", False):
+            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import pad_reflect_hw
+            x = pad_reflect_hw(x)
+            lbl = pad_reflect_hw(lbl)
+        if spec is not None and getattr(spec, "normalise", False):
+            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD
+            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        outputs = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats}, x, False)
+        total, terms = loss_fn(outputs, lbl, epoch=epoch)
+        cm = confusion_matrix(outputs["logits"], lbl)
+        return outputs["logits"], lbl, cm, total
+
+    return jax.jit(step)

@@ -1,0 +1,417 @@
+"""Trainer — the functional replacement for the reference's managers/.
+
+One Trainer covers what OCRNetManager / DeepLabv3(Plus)Manager /
+EncDecManager / FCNManager each re-implemented (SURVEY.md §2.2): epoch loop,
+per-epoch loader schedule (default / repeat-factor / oversampling /
+weighted-random / adaptive batching), validation with confusion-matrix
+accumulation and best-mIoU / best-loss checkpointing, TensorBoard logging,
+inference (with optional flip+multi-scale TTA), and streaming video
+inference.
+
+TPU-native structure: one jitted train step (augment+forward+loss+update+
+metrics fused, inputs sharded over the mesh 'data' axis), device-side
+metric accumulators fetched once per epoch, host-side prefetch of uint8
+batches, orbax checkpoints.
+"""
+from __future__ import annotations
+
+import datetime
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+from miccai2021_cataract_semantic_segmentation_tpu.data import (
+    ArrayDataset, RepeatFactorSampler, AdaptiveBatchSampler, SegDataset,
+    build_transform_pipeline, load_frame_table, split_dataframes,
+    oversample_indices, weighted_random_weights, weighted_random_epoch,
+    epoch_iterator, pad_or_trim_batches,
+)
+from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
+from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
+from miccai2021_cataract_semantic_segmentation_tpu.ops import (
+    mask_to_colormap, mean_iou_breakdown, normalise_confusion_matrix,
+    pixel_accuracy, resize_bilinear,
+)
+from miccai2021_cataract_semantic_segmentation_tpu.parallel import make_mesh, shard_batch
+from miccai2021_cataract_semantic_segmentation_tpu.train import checkpoint as ckpt
+from miccai2021_cataract_semantic_segmentation_tpu.train.loggers import (
+    TBLogger, StepTimer, confusion_matrix_figure, index_histogram_figure,
+)
+from miccai2021_cataract_semantic_segmentation_tpu.train.lr_schedule import make_schedule
+from miccai2021_cataract_semantic_segmentation_tpu.train.state import create_train_state
+from miccai2021_cataract_semantic_segmentation_tpu.train.steps import (
+    make_train_step, make_eval_step, make_eval_loss_step,
+)
+
+
+class Trainer:
+    def __init__(self, config: dict, datasets=None):
+        """`datasets`: optional (train_dataset, valid_dataset, train_df,
+        valid_df) override for synthetic/test runs."""
+        self.config = config
+        self.task = int(config["data"]["experiment"])
+        self.mode = config.get("mode", "training")
+        self.seed = int(config.get("seed", 0))
+        self.rng = jax.random.PRNGKey(self.seed)
+
+        run_name = config.get("name", "run")
+        self.run_id = config.get("run_id") or "{}_e{}__{}".format(
+            datetime.datetime.now().strftime("%Y%m%d_%H%M%S"), self.task, run_name)
+        self.run_dir = pathlib.Path(config.get("log_path", "logs")) / self.run_id
+        self.ckpt_dir = self.run_dir / "chkpts"
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+        # data -------------------------------------------------------------
+        dcfg = config["data"]
+        self.pipeline = build_transform_pipeline(
+            dcfg.get("transforms", ["pad"]), dcfg.get("transform_values", {}),
+            self.task)
+        if datasets is not None:
+            self.train_set, self.valid_set, self.train_df, self.valid_df = datasets
+        else:
+            df = load_frame_table(dcfg.get("data_csv"), config.get("data_path"))
+            self.train_df, self.valid_df = split_dataframes(
+                df, dcfg.get("split", 1), mode=self.mode,
+                use_relabeled=dcfg.get("use_relabeled", False),
+                blacklist=dcfg.get("blacklist", True))
+            self.train_set = SegDataset(self.train_df, self.task,
+                                        config.get("data_path"),
+                                        preload=dcfg.get("preload", False))
+            self.valid_set = SegDataset(self.valid_df, self.task,
+                                        config.get("data_path"))
+        self.batch_size = int(dcfg.get("batch_size", 8))
+        self.valid_batch_size = int(config.get("valid_batch_size", 1))
+
+        # per-epoch loader schedule (BaseManager.py:202-213)
+        epochs = int(config["train"].get("epochs", 50))
+        self.epochs = epochs
+        self.train_schedule = {e: "default" for e in range(epochs)}
+        for loader in ("adaptive_batching", "oversampling", "weighted_random",
+                       "repeat_factor"):
+            rng_spec = list(dcfg.get(loader, [0, 0]))
+            if len(rng_spec) == 1:
+                rng_spec.append(epochs)
+            for e in range(*rng_spec):
+                if 0 <= e < epochs:
+                    self.train_schedule[e] = loader
+
+        self._samplers: dict = {}
+        self.steps_per_epoch = max(1, len(self.train_set) // self.batch_size)
+
+        # model / loss / optimiser ----------------------------------------
+        dtype = jnp.bfloat16 if config.get("precision", "bf16") == "bf16" \
+            else jnp.float32
+        self.model = build_model(config.get("graph", {}), self.task, dtype=dtype)
+        loss_cfg = dict(config.get("loss") or {"name": "CrossEntropyLoss"})
+        if not loss_cfg.get("name"):
+            loss_cfg["name"] = "CrossEntropyLoss"
+        self.loss_fn = build_loss(loss_cfg, self.task)
+        self.schedule = make_schedule(config["train"], self.steps_per_epoch)
+
+        sample = self._sample_batch_shape()
+        self.state = create_train_state(self.model, self.rng, sample,
+                                        config["train"], self.schedule)
+        self.num_params = int(sum(np.prod(v.shape)
+                                  for v in jax.tree.leaves(self.state.params)))
+
+        # parallelism ------------------------------------------------------
+        # Data-parallel mesh over the largest device count that divides the
+        # global batch (a 4-image batch on an 8-chip slice uses 4 chips).
+        import math
+        n_use = math.gcd(self.batch_size, len(jax.devices()))
+        self.mesh = make_mesh(devices=jax.devices()[:n_use]) if n_use > 1 else None
+
+        has_points = config.get("graph", {}).get("model") == "PointRend" or \
+            (config.get("graph", {}).get("decoder", {}) or {}).get("model") == "PointRend"
+        self.train_step = make_train_step(self.loss_fn, self.pipeline.device,
+                                          self.task, has_point_head=has_points,
+                                          mesh=self.mesh)
+        eval_spec = self.pipeline.device if self.pipeline.valid_pad else None
+        num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
+        self.eval_step = make_eval_step(eval_spec, num_classes)
+        self.eval_loss_step = make_eval_loss_step(self.loss_fn, eval_spec)
+
+        # bookkeeping ------------------------------------------------------
+        self.train_writer = TBLogger(self.run_dir / "train")
+        self.valid_writer = TBLogger(self.run_dir / "valid")
+        self.global_step = 0
+        self.start_epoch = 0
+        self.best_miou = 0.0
+        self.best_loss = float("inf")
+        self.metrics: dict = {}
+        self.ind_counts = np.zeros(len(self.train_set), np.int64)
+        self.adaptive_sampler: AdaptiveBatchSampler | None = None
+        self.log_every_n_epochs = int(config.get("log_every_n_epochs", 100))
+        self.log_every_n_steps = int(config.get("log_every_n_steps", 50))
+
+    # ---------------------------------------------------------------- data
+    def _sample_batch_shape(self):
+        img, lbl, _ = self.train_set[0]
+        h, w = lbl.shape
+        if self.pipeline.device.pad:
+            h += 4
+        return jnp.zeros((self.batch_size, h, w, 3), jnp.float32)
+
+    def _epoch_batches(self, epoch: int, np_rng) -> np.ndarray:
+        mode = self.train_schedule.get(epoch, "default")
+        n = len(self.train_set)
+        bs = self.batch_size
+        if mode == "repeat_factor":
+            s = self._samplers.get("repeat_factor")
+            if s is None:
+                s = self._samplers["repeat_factor"] = RepeatFactorSampler(
+                    self.train_df, self.config["data"]["repeat_factor_freq_thresh"],
+                    self.task, blacklist=self.config["data"].get("blacklist", True),
+                    seed=self.seed + 1)
+            batches = s.epoch_batches(bs)
+        elif mode == "oversampling":
+            extra = self._samplers.get("oversampling")
+            if extra is None:
+                extra = self._samplers["oversampling"] = oversample_indices(
+                    self.train_df, self.task,
+                    self.config["data"].get("oversampling_preset", "default"),
+                    self.config["data"].get("oversampling_frac", 0.2))
+            idx = np.concatenate([np.arange(n), extra])
+            idx = np_rng.permutation(idx)
+            batches = idx[: (len(idx) // bs) * bs].reshape(-1, bs)
+        elif mode == "weighted_random":
+            w = self._samplers.get("weighted_random")
+            if w is None:
+                w = self._samplers["weighted_random"] = weighted_random_weights(
+                    self.train_df, self.task,
+                    self.config["data"].get("weighted_random_mode", "v1"))
+            idx = weighted_random_epoch(w, n, np_rng)
+            batches = idx[: (n // bs) * bs].reshape(-1, bs)
+        elif mode == "adaptive_batching":
+            if self.adaptive_sampler is None:
+                self.adaptive_sampler = AdaptiveBatchSampler(
+                    self.train_df, self.task, bs,
+                    self.config["data"].get("adaptive_sel_size", 10),
+                    iou_update=self.config["data"].get("adaptive_iou_update", 1),
+                    seed=self.seed + 2)
+            batches = self.adaptive_sampler.epoch_batches()
+        else:
+            idx = np_rng.permutation(n)
+            batches = idx[: (n // bs) * bs].reshape(-1, bs)
+        # static steps-per-epoch for the jitted loop
+        return pad_or_trim_batches(batches, self.steps_per_epoch)
+
+    # --------------------------------------------------------------- train
+    def train(self):
+        cfg = self.config
+        print(f"[{self.run_id}] training {cfg.get('graph', {}).get('model')} "
+              f"task {self.task}: {self.num_params / 1e6:.1f}M params, "
+              f"{self.steps_per_epoch} steps/epoch x {self.epochs} epochs")
+        ckpt.write_info_json(self.run_dir, cfg, self.metrics)
+        np_rng = np.random.default_rng(self.seed)
+        timer = StepTimer()
+        step_rng = jax.random.fold_in(self.rng, 17)
+
+        for epoch in range(self.start_epoch, self.epochs):
+            batches = self._epoch_batches(epoch, np_rng)
+            for b in batches.reshape(-1):
+                self.ind_counts[b] += 1
+            running_cm = None
+            running_loss = jnp.zeros(())
+            adaptive = self.train_schedule.get(epoch) == "adaptive_batching"
+            t_epoch = time.perf_counter()
+            for images, labels, idx in epoch_iterator(
+                    self.train_set, batches, self.pipeline,
+                    seed=self.seed + epoch, prefetch=2,
+                    sharding=None if self.mesh is None else
+                    jax.sharding.NamedSharding(self.mesh,
+                                               jax.sharding.PartitionSpec("data"))):
+                self.state, m = self.train_step(self.state, images, labels,
+                                                step_rng, epoch)
+                running_cm = m["confusion_matrix"] if running_cm is None \
+                    else running_cm + m["confusion_matrix"]
+                running_loss = running_loss + m["loss"]
+                timer.tick()
+                if adaptive and self.adaptive_sampler is not None:
+                    iou = mean_iou_breakdown(np.asarray(m["confusion_matrix"]),
+                                             self.task)["per_class"]
+                    self.adaptive_sampler.update_iou(
+                        np.asarray(iou)[: len(self.adaptive_sampler.iou_values)])
+                if self.global_step % self.log_every_n_steps == 0:
+                    self.train_writer.scalars(
+                        {k: v for k, v in m.items() if k != "confusion_matrix"},
+                        self.global_step, prefix="metrics/")
+                    self.train_writer.scalar("parameters/learning_rate",
+                                             self.schedule(self.state.step),
+                                             self.global_step)
+                self.global_step += 1
+
+            # epoch-level metrics (single device->host fetch)
+            cm = np.asarray(running_cm)
+            bd = mean_iou_breakdown(cm, self.task)
+            pa, pac = pixel_accuracy(cm)
+            epoch_s = time.perf_counter() - t_epoch
+            fps = self.steps_per_epoch * self.batch_size / epoch_s
+            print(f"\r[{self.run_id}] epoch {epoch:03d}: "
+                  f"loss {float(running_loss) / self.steps_per_epoch:.4f} "
+                  f"miou {float(bd['miou']):.4f} pa {float(pa):.4f} "
+                  f"{timer.mean_ms:.0f} ms/step {fps:.1f} fps")
+            self.train_writer.scalar("metrics/epoch_miou", bd["miou"], epoch)
+            self.train_writer.scalar("metrics/epoch_fps", fps, epoch)
+            self.validate(epoch)
+        # final checkpoint (managers save at last epoch)
+        ckpt.save_checkpoint(self.ckpt_dir, "last", self.state, self.epochs - 1,
+                             self.best_miou, self.best_loss)
+        self.train_writer.figure(
+            "ind_dist", index_histogram_figure(self.ind_counts), self.global_step)
+        np.savez(self.run_dir / "ind_dist.npz", ind_counts=self.ind_counts)
+        self.train_writer.close()
+        self.valid_writer.close()
+        return self.metrics
+
+    # ------------------------------------------------------------ validate
+    def validate(self, epoch: int):
+        cm_total = None
+        loss_total, n_batches = 0.0, 0
+        n = len(self.valid_set)
+        bs = self.valid_batch_size
+        batches = np.arange((n // bs) * bs).reshape(-1, bs)
+        max_imgs = int(self.config.get("max_valid_imgs", 10))
+        logged = 0
+        for images, labels, idx in epoch_iterator(self.valid_set, batches,
+                                                  None, seed=0, prefetch=2):
+            logits, lbl, cm, loss = self.eval_loss_step(self.state, images,
+                                                        labels, epoch)
+            cm_total = cm if cm_total is None else cm_total + cm
+            loss_total += float(loss)
+            n_batches += 1
+            if logged < max_imgs:
+                self._log_valid_image(np.asarray(images[0]),
+                                      np.asarray(lbl[0]),
+                                      np.asarray(jnp.argmax(logits[0], -1)),
+                                      epoch, logged)
+                logged += 1
+        cm = np.asarray(cm_total)
+        bd = mean_iou_breakdown(cm, self.task)
+        pa, pac = pixel_accuracy(cm)
+        valid_loss = loss_total / max(n_batches, 1)
+        miou = float(bd["miou"])
+        self.metrics = {
+            "epoch": epoch, "valid_loss": valid_loss, "miou": miou,
+            "miou_instruments": float(bd.get("miou_instruments", 0.0)),
+            "miou_anatomies": float(bd.get("miou_anatomies", 0.0)),
+            "miou_rare": float(bd.get("miou_rare", 0.0)),
+            "pa": float(pa), "pac": float(pac),
+            "per_class_iou": np.asarray(bd["per_class"]).tolist(),
+        }
+        self.valid_writer.scalars(
+            {k: v for k, v in self.metrics.items() if isinstance(v, float)},
+            self.global_step, prefix="metrics/")
+        for mode in ("row", "col"):
+            fig = confusion_matrix_figure(
+                np.asarray(normalise_confusion_matrix(cm, mode)), self.task)
+            self.valid_writer.figure(f"confusion_matrix/{mode}", fig,
+                                     self.global_step)
+        print(f"[{self.run_id}]   valid: loss {valid_loss:.4f} miou {miou:.4f} "
+              f"(instr {self.metrics['miou_instruments']:.4f} "
+              f"anat {self.metrics['miou_anatomies']:.4f} "
+              f"rare {self.metrics['miou_rare']:.4f})")
+        # best-mIoU / best-loss checkpointing (OCRNet_Manager.py:205-242)
+        if miou > self.best_miou:
+            self.best_miou = miou
+            ckpt.save_checkpoint(self.ckpt_dir, "best", self.state, epoch,
+                                 self.best_miou, self.best_loss)
+        if valid_loss < self.best_loss:
+            self.best_loss = valid_loss
+        if (epoch + 1) % self.log_every_n_epochs == 0:
+            ckpt.save_checkpoint(self.ckpt_dir, "last", self.state, epoch,
+                                 self.best_miou, self.best_loss)
+        ckpt.write_info_json(self.run_dir, self.config, self.metrics)
+
+    def _log_valid_image(self, img_u8, lbl, pred, epoch, i):
+        """img|gt|pred triptych (utils/utils.py:202-211 to_comb_image)."""
+        h = min(img_u8.shape[0], lbl.shape[0])
+        comb = np.concatenate([
+            img_u8[:h], mask_to_colormap(lbl[:h], self.task),
+            mask_to_colormap(pred[:h], self.task)], axis=1)
+        self.valid_writer.image(f"valid_img_{i}", comb, epoch)
+
+    # ------------------------------------------------------------ inference
+    def load_checkpoint(self, which: str = "best", run_id: str | None = None):
+        ckpt_dir = self.ckpt_dir if run_id is None else \
+            pathlib.Path(self.config.get("log_path", "logs")) / run_id / "chkpts"
+        self.state, meta = ckpt.restore_checkpoint(ckpt_dir, which, self.state)
+        self.start_epoch = int(meta.get("epoch", 0)) + 1
+        self.best_miou = meta.get("best_miou", 0.0)
+        self.best_loss = meta.get("best_loss", float("inf"))
+        return meta
+
+    def infer(self, tta: bool | None = None):
+        """Test/validation inference (BaseManager.infer:640-688), optional
+        flip + multi-scale TTA with mean merging."""
+        tta = self.config.get("tta", False) if tta is None else tta
+        num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
+        if tta:
+            step = self._make_tta_step()
+        else:
+            step = self.eval_step
+        cm_total = None
+        n = len(self.valid_set)
+        bs = self.valid_batch_size
+        batches = np.arange((n // bs) * bs).reshape(-1, bs)
+        t0 = time.perf_counter()
+        for images, labels, idx in epoch_iterator(self.valid_set, batches,
+                                                  None, seed=0, prefetch=2):
+            _, _, cm = step(self.state, images, labels)
+            cm_total = cm if cm_total is None else cm_total + cm
+        dt = time.perf_counter() - t0
+        cm = np.asarray(cm_total)
+        bd = mean_iou_breakdown(cm, self.task)
+        pa, pac = pixel_accuracy(cm)
+        results = {
+            "miou": float(bd["miou"]),
+            "miou_instruments": float(bd.get("miou_instruments", 0.0)),
+            "miou_anatomies": float(bd.get("miou_anatomies", 0.0)),
+            "miou_rare": float(bd.get("miou_rare", 0.0)),
+            "pa": float(pa), "pac": float(pac),
+            "frames_per_sec": len(batches) * bs / dt,
+        }
+        print(f"[{self.run_id}] infer: {results}")
+        ckpt.write_info_json(self.run_dir, self.config, results)
+        return results
+
+    def _make_tta_step(self):
+        """ttach-equivalent: HFlip x scales {0.75,1,1.25} mean merge
+        (BaseManager.py:652-660)."""
+        spec = self.pipeline.device if self.pipeline.valid_pad else None
+        scales = self.config.get("tta_scales", (0.75, 1.0, 1.25))
+
+        def step(state, images_u8, labels_u8):
+            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
+                pad_reflect_hw, IMAGENET_MEAN, IMAGENET_STD)
+            x = images_u8.astype(jnp.float32) / 255.0
+            lbl = labels_u8.astype(jnp.int32)
+            if spec is not None and spec.pad:
+                x = pad_reflect_hw(x)
+                lbl = pad_reflect_hw(lbl)
+            if spec is not None and spec.normalise:
+                x = (x - IMAGENET_MEAN) / IMAGENET_STD
+            h, w = x.shape[1:3]
+            probs = jnp.zeros(x.shape[:3] + (taxonomy.TASK_NUM_CLASSES[self.task],))
+            for s in scales:
+                hs, ws = int(round(h * s / 32) * 32), int(round(w * s / 32) * 32)
+                xs = resize_bilinear(x, (hs, ws), align_corners=False)
+                for flip in (False, True):
+                    xi = xs[:, :, ::-1] if flip else xs
+                    out = state.apply_fn({"params": state.params,
+                                          "batch_stats": state.batch_stats},
+                                         xi, False)
+                    lg = out["logits"]
+                    if flip:
+                        lg = lg[:, :, ::-1]
+                    lg = resize_bilinear(lg, (h, w), align_corners=False)
+                    probs = probs + jax.nn.softmax(lg, axis=-1)
+            from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import confusion_matrix
+            cm = confusion_matrix(probs, lbl)
+            return probs, lbl, cm
+
+        return jax.jit(step)

@@ -1,0 +1,170 @@
+"""Data layer tests: splits, samplers, transforms, pipeline, on a synthetic
+frame table shaped like the CaDIS data.csv."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+from miccai2021_cataract_semantic_segmentation_tpu.data import (
+    split_dataframes, task_count_matrix, RepeatFactorSampler,
+    class_repeat_factors, image_repeat_factors, oversample_indices,
+    weighted_random_weights, weighted_random_epoch, AdaptiveBatchSampler,
+    build_transform_pipeline, AffineTransform, CropTransform, pad_reflect,
+    ArrayDataset, assemble_batch, pad_or_trim_batches, epoch_iterator,
+)
+
+
+@pytest.fixture()
+def frame_table():
+    rng = np.random.default_rng(0)
+    n = 120
+    rows = {
+        "img_path": [f"Video{v:02d}/Images/frame{i}.png" for i, v in
+                     enumerate(rng.integers(1, 26, n))],
+        "lbl_path": [f"Video{v:02d}/Labels/frame{i}.png" for i, v in
+                     enumerate(rng.integers(1, 26, n))],
+        "blacklisted": rng.integers(0, 2, n) * (rng.random(n) < 0.1),
+        "relabeled": (rng.random(n) < 0.1).astype(float),
+        "vid_num": rng.integers(1, 26, n),
+    }
+    counts = rng.integers(0, 1000, (n, 36)) * (rng.random((n, 36)) < 0.3)
+    counts[:, 0] = rng.integers(1000, 50000, n)  # Pupil everywhere
+    counts[:, 6] = rng.integers(1000, 90000, n)  # Cornea everywhere
+    for i, name in enumerate(taxonomy.CANONICAL_NAMES):
+        rows[name] = counts[:, i]
+    return pd.DataFrame(rows)
+
+
+def test_split_semantics(frame_table):
+    train, valid = split_dataframes(frame_table, split=2, mode="training",
+                                    blacklist=False)
+    assert set(train["vid_num"]).issubset(set(taxonomy.DATA_SPLITS[2][0]))
+    assert set(valid["vid_num"]).issubset({5, 7, 16})
+    _, test = split_dataframes(frame_table, split=2, mode="inference",
+                               blacklist=False)
+    assert set(test["vid_num"]).issubset({2, 12, 22})
+
+
+def test_split_blacklist_and_relabel(frame_table):
+    train_bl, _ = split_dataframes(frame_table, 1, blacklist=True)
+    assert (train_bl["blacklisted"] == 1).sum() == 0
+    train_rl, _ = split_dataframes(frame_table, 1, use_relabeled=True,
+                                   blacklist=True)
+    relabeled = train_rl[train_rl["relabeled"] == 1]
+    assert all(p.startswith("relabeled/") for p in relabeled["lbl_path"])
+
+
+def test_task_count_matrix(frame_table):
+    m1 = task_count_matrix(frame_table, 1)
+    assert m1.shape == (len(frame_table), 8)
+    m2 = task_count_matrix(frame_table, 2)
+    assert m2.shape == (len(frame_table), 18)
+    # totals preserved across tasks that cover the full canonical space
+    canon_total = frame_table[list(taxonomy.CANONICAL_NAMES)].to_numpy().sum()
+    np.testing.assert_allclose(m1.sum(), canon_total)
+    np.testing.assert_allclose(m2.sum(), canon_total)
+
+
+def test_repeat_factor_math(frame_table):
+    train, _ = split_dataframes(frame_table, 2)
+    freqs, rfs = class_repeat_factors(train, 0.15, task=2)
+    assert rfs.shape == (18,)
+    assert (rfs >= 1).all()
+    # ubiquitous classes (Pupil/Cornea) should not be repeated
+    assert rfs[0] == 1.0 and rfs[6] == 1.0
+    img_rfs = image_repeat_factors(train, rfs, task=2)
+    assert img_rfs.shape == (len(train),)
+    assert (img_rfs >= 1).all()
+    # image rf is the max over present classes
+    counts = task_count_matrix(train, 2)
+    i = 0
+    present = counts[i] > 0
+    np.testing.assert_allclose(img_rfs[i], rfs[present].max())
+
+
+def test_repeat_factor_sampler_epochs(frame_table):
+    train, _ = split_dataframes(frame_table, 2)
+    s = RepeatFactorSampler(train, repeat_thresh=0.3, task=2, seed=3)
+    e1, e2 = s.epoch_indices(), s.epoch_indices()
+    n = (s.repeat_factors >= 1).sum()
+    assert len(e1) >= n  # every frame appears at least once
+    assert not np.array_equal(e1[:20], e2[:20])  # reshuffled
+    batches = s.epoch_batches(4)
+    assert batches.ndim == 2 and batches.shape[1] == 4  # drop_last
+
+
+def test_oversampling(frame_table):
+    train, _ = split_dataframes(frame_table, 2)
+    extra = oversample_indices(train, task=2, preset="default", frac=0.2)
+    assert len(extra) >= int(0.2 * len(train))
+    assert len(np.unique(extra)) == len(extra)
+
+
+def test_weighted_random(frame_table):
+    train, _ = split_dataframes(frame_table, 2)
+    for mode in ("v1", "v2"):
+        w = weighted_random_weights(train, 2, mode)
+        assert w.shape == (len(train),)
+        assert (w >= 0).all() and w.sum() > 0
+    idx = weighted_random_epoch(w, 50, np.random.default_rng(0))
+    assert idx.shape == (50,) and idx.max() < len(train)
+
+
+def test_adaptive_batching(frame_table):
+    train, _ = split_dataframes(frame_table, 2)
+    s = AdaptiveBatchSampler(train, task=2, batch_size=4, sel_size=3)
+    b = s.next_batch()
+    assert b.shape == (4,)
+    s.update_iou(np.linspace(0, 1, 17))
+    batches = s.epoch_batches()
+    assert batches.shape == (len(train) // 4, 4)
+
+
+def test_transform_pipeline_parsing():
+    p = build_transform_pipeline(["pad", "flip", "blur", "colorjitter",
+                                  "torchvision_normalise"],
+                                 {"crop_size": 0.4, "crop_mode": "random"}, 2)
+    assert p.device.pad and p.device.flip and p.device.blur
+    assert p.device.colorjitter and p.device.normalise
+    assert not p.host_train
+    p2 = build_transform_pipeline(["crop", "pad", "rot"],
+                                  {"crop_size": 0.4, "crop_mode": "random"}, 2)
+    assert not p2.device.pad  # crop suppresses train pad (utils.py:394-398)
+    assert p2.valid_pad
+    assert len(p2.host_train) == 2  # affine + crop
+
+
+def test_affine_and_crop_transforms():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    lbl = rng.integers(0, 18, (64, 96), dtype=np.uint8)
+    a_img, a_lbl = AffineTransform(rotation=15)(img, lbl, rng)
+    assert a_img.shape == img.shape and a_lbl.shape == lbl.shape
+    assert a_lbl.max() < 18  # nearest-neighbour keeps valid ids
+    ac_img, ac_lbl = AffineTransform(rotation=15, crop_to_fit=True)(img, lbl, rng)
+    assert ac_img.shape == img.shape and ac_lbl.shape == lbl.shape
+    c_img, c_lbl = CropTransform(size=0.5, mode="random", task=2)(img, lbl, rng)
+    assert c_img.shape[0] == c_img.shape[1] == c_lbl.shape[0]
+    assert c_img.shape[0] % 32 == 0
+
+
+def test_pad_reflect():
+    x = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    y = pad_reflect(x, ver=(1, 1), hor=(0, 0))
+    assert y.shape == (5, 4)
+    np.testing.assert_array_equal(y[0], x[1])  # reflect
+
+
+def test_pipeline_epoch():
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.integers(0, 255, (10, 16, 24, 3), dtype=np.uint8),
+                      rng.integers(0, 8, (10, 16, 24), dtype=np.uint8))
+    batches = np.arange(8).reshape(4, 2)
+    batches = pad_or_trim_batches(batches, 6)
+    assert batches.shape == (6, 2)
+    seen = 0
+    for imgs, lbls, idx in epoch_iterator(ds, batches, prefetch=2):
+        assert imgs.shape == (2, 16, 24, 3)
+        assert lbls.shape == (2, 16, 24)
+        seen += 1
+    assert seen == 6

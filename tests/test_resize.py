@@ -21,7 +21,7 @@ def test_matches_torch(align_corners, shape, size):
     theirs = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=size,
                            mode="bilinear", align_corners=align_corners)
     theirs = theirs.permute(0, 2, 3, 1).numpy()
-    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=5e-5)
 
 
 def test_identity():
