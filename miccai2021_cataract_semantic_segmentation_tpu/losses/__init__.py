@@ -60,6 +60,30 @@ def build_two_scale(cfg: dict, task: int):
     final_cfg = dict(cfg.get("final", {"name": "CrossEntropyLoss"}))
     w_interm = interm_cfg.get("weight", 0.4)
     w_final = final_cfg.get("weight", 1.0)
+
+    # Fast path: both scales Lovász with default options -> one fused sort
+    # over the stacked (2C, P) error rows (see fused_two_scale_lovasz).
+    def _is_default_lovasz(c):
+        return (c["name"] == "LovaszSoftmax"
+                and c.get("classes_to_consider") in (None, "present")
+                and not c.get("per_image", False))
+
+    if _is_default_lovasz(interm_cfg) and _is_default_lovasz(final_cfg):
+        ign = interm_cfg.get("classes_to_ignore")
+
+        def fused_fn(interm_logits, final_logits, labels):
+            h, w = labels.shape[-2:]
+            if interm_logits.shape[1:3] != (h, w):
+                interm_logits = resize_bilinear(interm_logits, (h, w),
+                                                align_corners=False)
+            from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (
+                fused_two_scale_lovasz)
+            return fused_two_scale_lovasz(interm_logits, final_logits, labels,
+                                          w_interm, w_final,
+                                          classes_to_ignore=ign)
+
+        return fused_fn
+
     interm_fn = _single_loss(interm_cfg["name"], interm_cfg, task)
     final_fn = _single_loss(final_cfg["name"], final_cfg, task)
 

@@ -72,6 +72,74 @@ def _lovasz_grad_from_sorted(fg_sorted: Array) -> Array:
         [jaccard[..., :1], jaccard[..., 1:] - jaccard[..., :-1]], axis=-1)
 
 
+@jax.custom_vjp
+def _sorted_lovasz_per_class(errors_t: Array, fg_t: Array) -> Array:
+    """(R, P) non-negative errors + {0,1} fg -> (R,) per-row Lovász terms.
+
+    TPU-optimised: the descending co-sort of (errors, fg) is ONE single-key
+    uint32 sort — fg is packed into the error's mantissa LSB (<=1-ulp value
+    perturbation; ties between equal truncated errors put fg=1 first, an
+    arbitrary-but-consistent order, exactly like any float sort's ties).
+    The custom VJP replaces autodiff's backward scatter-through-sort (the
+    dominant cost on TPU: ~1s for 8x544x960x17) with a second key sort that
+    un-permutes the Lovász gradient (~2x faster end to end).
+    """
+    key, _ = _lovasz_pack_sort(errors_t, fg_t, with_perm=False)
+    e_sorted, fg_sorted = _lovasz_unpack(key)
+    g = _lovasz_grad_from_sorted(fg_sorted)
+    return jnp.sum(e_sorted * g, axis=-1)
+
+
+def _lovasz_pack_sort(errors_t, fg_t, with_perm: bool):
+    e_bits = jax.lax.bitcast_convert_type(errors_t.astype(jnp.float32), jnp.uint32)
+    packed = (e_bits & jnp.uint32(0xFFFFFFFE)) | fg_t.astype(jnp.uint32)
+    key = ~packed  # ascending sort of ~key == descending by (error, fg)
+    if not with_perm:
+        (key_s,) = jax.lax.sort((key,), dimension=1, num_keys=1)
+        return key_s, None
+    iota = jax.lax.broadcasted_iota(jnp.int32, errors_t.shape, 1)
+    key_s, perm = jax.lax.sort((key, iota), dimension=1, num_keys=1)
+    return key_s, perm
+
+
+def _lovasz_unpack(key_sorted):
+    packed = ~key_sorted
+    fg_sorted = (packed & jnp.uint32(1)).astype(jnp.float32)
+    e_sorted = jax.lax.bitcast_convert_type(packed & jnp.uint32(0xFFFFFFFE),
+                                            jnp.float32)
+    return e_sorted, fg_sorted
+
+
+def _sorted_lovasz_fwd(errors_t, fg_t):
+    key_s, perm = _lovasz_pack_sort(errors_t, fg_t, with_perm=True)
+    e_sorted, fg_sorted = _lovasz_unpack(key_s)
+    g = _lovasz_grad_from_sorted(fg_sorted)
+    return jnp.sum(e_sorted * g, axis=-1), (perm, g)
+
+
+def _sorted_lovasz_bwd(res, ct):
+    perm, g = res
+    # un-permute g back to pixel order: one int-keyed sort (no scatter)
+    _, g_orig = jax.lax.sort((perm, g), dimension=1, num_keys=1)
+    return g_orig * ct[:, None], None
+
+
+_sorted_lovasz_per_class.defvjp(_sorted_lovasz_fwd, _sorted_lovasz_bwd)
+
+
+def lovasz_errors(probs: Array, labels: Array, valid: Array):
+    """Flattened (C, P) transposed error/fg matrices + (C,) presence mask —
+    the sort-ready building blocks shared by single- and fused two-scale
+    Lovász."""
+    num_classes = probs.shape[-1]
+    fg = (labels[:, None] == jnp.arange(num_classes)[None, :]).astype(jnp.float32)
+    fg = fg * valid[:, None].astype(jnp.float32)
+    errors = jnp.abs(fg - probs.astype(jnp.float32))
+    errors = errors * valid[:, None]  # dropped pixels: error 0, fg 0
+    present = (jnp.sum(fg, axis=0) > 0).astype(jnp.float32)
+    return errors.T, fg.T, present
+
+
 def _lovasz_flat(probs: Array, labels: Array, valid: Array,
                  class_mask: Array) -> Array:
     """Lovász-Softmax on flattened (P, C) probs / (P,) labels.
@@ -80,19 +148,8 @@ def _lovasz_flat(probs: Array, labels: Array, valid: Array,
     class channels participate in the average ('all' -> ones; a subset list
     -> indicator; the 'present' filter is applied on top dynamically).
     """
-    num_classes = probs.shape[-1]
-    fg = (labels[:, None] == jnp.arange(num_classes)[None, :]).astype(jnp.float32)
-    fg = fg * valid[:, None].astype(jnp.float32)
-    errors = jnp.abs(fg - probs.astype(jnp.float32))
-    errors = errors * valid[:, None]  # dropped pixels: error 0, fg 0
-    # descending sort per class: one batched lax.sort over (C, P)
-    errors_t, fg_t = -errors.T, fg.T
-    errors_sorted, fg_sorted = jax.lax.sort((errors_t, fg_t), dimension=1,
-                                            num_keys=1)
-    errors_sorted = -errors_sorted
-    grad = _lovasz_grad_from_sorted(fg_sorted)
-    per_class = jnp.sum(errors_sorted * grad, axis=-1)  # (C,)
-    present = (jnp.sum(fg, axis=0) > 0).astype(jnp.float32)
+    errors_t, fg_t, present = lovasz_errors(probs, labels, valid)
+    per_class = _sorted_lovasz_per_class(errors_t, fg_t)  # (C,)
     m = class_mask.astype(jnp.float32) * present
     return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -134,15 +191,33 @@ def lovasz_softmax(logits: Array, labels: Array,
 
 
 def _lovasz_flat_all(probs, labels, valid, class_mask):
-    num_classes = probs.shape[-1]
-    fg = (labels[:, None] == jnp.arange(num_classes)[None, :]).astype(jnp.float32)
-    fg = fg * valid[:, None].astype(jnp.float32)
-    errors = jnp.abs(fg - probs.astype(jnp.float32)) * valid[:, None]
-    errors_sorted, fg_sorted = jax.lax.sort((-errors.T, fg.T), dimension=1, num_keys=1)
-    grad = _lovasz_grad_from_sorted(fg_sorted)
-    per_class = jnp.sum(-errors_sorted * grad, axis=-1)
+    errors_t, fg_t, _ = lovasz_errors(probs, labels, valid)
+    per_class = _sorted_lovasz_per_class(errors_t, fg_t)
     m = class_mask.astype(jnp.float32)
     return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def fused_two_scale_lovasz(interm_logits: Array, final_logits: Array,
+                           labels: Array, w_interm: float, w_final: float,
+                           classes_to_ignore: int | None = None) -> Array:
+    """TwoScaleLoss(Lovász, Lovász) with BOTH scales' class rows stacked into
+    ONE (2C, P) sort call — the sort dominates the loss cost on TPU and XLA
+    parallelises rows, so fusing the scales roughly halves the loss time
+    vs two sequential Lovász evaluations (reference losses/TwoScaleLoss.py
+    computes them sequentially)."""
+    num_classes = final_logits.shape[-1]
+    l_flat = labels.reshape(-1)
+    valid = (l_flat != classes_to_ignore) if classes_to_ignore is not None \
+        else jnp.ones_like(l_flat, jnp.bool_)
+    p_i = jax.nn.softmax(interm_logits.astype(jnp.float32), -1).reshape(-1, num_classes)
+    p_f = jax.nn.softmax(final_logits.astype(jnp.float32), -1).reshape(-1, num_classes)
+    e_i, f_i, pr_i = lovasz_errors(p_i, l_flat, valid)
+    e_f, f_f, pr_f = lovasz_errors(p_f, l_flat, valid)
+    per_class = _sorted_lovasz_per_class(jnp.concatenate([e_i, e_f], axis=0),
+                                         jnp.concatenate([f_i, f_f], axis=0))
+    loss_i = jnp.sum(per_class[:num_classes] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
+    loss_f = jnp.sum(per_class[num_classes:] * pr_f) / jnp.maximum(jnp.sum(pr_f), 1.0)
+    return w_interm * loss_i + w_final * loss_f
 
 
 # ---------------------------------------------------------------------------
