@@ -2,7 +2,10 @@ from miccai2021_cataract_semantic_segmentation_tpu.data.dataframe import (  # no
     load_frame_table, split_dataframes, task_count_matrix, canonical_count_matrix,
 )
 from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import (  # noqa: F401
-    SegDataset, ArrayDataset, VideoDataset,
+    SegDataset, ArrayDataset, VideoDataset, SubmissionDataset,
+)
+from miccai2021_cataract_semantic_segmentation_tpu.data.semi import (  # noqa: F401
+    BalancedConcatDataset, video_files_from_split, excluded_frames_from_df,
 )
 from miccai2021_cataract_semantic_segmentation_tpu.data.samplers import (  # noqa: F401
     RepeatFactorSampler, AdaptiveBatchSampler, class_repeat_factors,

@@ -78,6 +78,44 @@ class SegDataset:
         meta = {"index": idx, "vid_num": int(self.df.iloc[idx].get("vid_num", -1))}
         return img, lbl, meta
 
+    def load_batch(self, indices) -> tuple[np.ndarray, np.ndarray] | None:
+        """Parallel native (C++ thread-pool) decode+remap of a whole batch;
+        None when unavailable (non-PNG files, no toolchain, preloaded)."""
+        if self._cache is not None:
+            return None
+        from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+        from miccai2021_cataract_semantic_segmentation_tpu.data import native_io
+        rows = [self.df.iloc[int(i)] for i in indices]
+        img_paths = [self._resolve(r["img_path"]) for r in rows]
+        lbl_paths = [self._resolve(r["lbl_path"]) for r in rows]
+        if not native_io.available() or \
+                not str(img_paths[0]).lower().endswith(".png"):
+            return None
+        h, w = native_io.png_dimensions(img_paths[0])
+        lut = np.asarray(taxonomy.REMAP_LUTS_NETWORK[self.task], np.uint8)
+        return native_io.load_batch(img_paths, lbl_paths, h, w, lut)
+
+
+class SubmissionDataset:
+    """Inference-only dataset over a directory of images: returns
+    (img, dummy zero label, meta with the image name) — the reference's
+    DatasetForSubmission (datasets/Dataset_for_Submission.py:16-22)."""
+
+    def __init__(self, image_dir: str, height: int = 540, width: int = 960):
+        self.paths = sorted(pathlib.Path(image_dir).iterdir())
+        self.height, self.width = height, width
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int):
+        img = _read_image(self.paths[idx])
+        if img.shape[:2] != (self.height, self.width):
+            img = cv2.resize(img, (self.width, self.height),
+                             interpolation=cv2.INTER_LINEAR)
+        lbl = np.zeros(img.shape[:2], np.uint8)
+        return img, lbl, {"index": idx, "name": self.paths[idx].name}
+
 
 class ArrayDataset:
     """In-memory dataset (synthetic data, tests, benchmarking) with the same

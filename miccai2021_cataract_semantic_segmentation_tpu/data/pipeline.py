@@ -30,11 +30,22 @@ def pad_or_trim_batches(batches: np.ndarray, steps: int | None) -> np.ndarray:
 
 
 def assemble_batch(dataset, indices, pipeline=None, rng=None):
-    """Stack dataset items into (images u8 NHWC, labels u8 NHW, idx i32 N)."""
+    """Stack dataset items into (images u8 NHWC, labels u8 NHW, idx i32 N).
+
+    When the dataset exposes `load_batch` (SegDataset's C++ thread-pool
+    decode+remap) and no host-side geometric transforms are active, the
+    whole batch decodes in parallel in native code."""
+    host_tf = pipeline is not None and pipeline.host_train
+    if not host_tf and hasattr(dataset, "load_batch"):
+        native = dataset.load_batch(indices)
+        if native is not None:
+            imgs, lbls = native
+            return (imgs, lbls.astype(np.int32),
+                    np.asarray(indices, dtype=np.int32))
     imgs, lbls = [], []
     for i in indices:
         img, lbl, _meta = dataset[int(i)]
-        if pipeline is not None and pipeline.host_train:
+        if host_tf:
             img, lbl = pipeline.apply_host(img, lbl, rng)
         imgs.append(img)
         lbls.append(lbl)

@@ -1,0 +1,67 @@
+"""Semi-supervised data helpers (reference utils/semi_utis.py).
+
+BalancedConcatDataset zips a labelled and an unlabelled dataset (index
+wraps modulo each member's length, epoch length = longest member);
+`video_files_from_split` maps split video ids to the CaDIS mp4 layout;
+`excluded_frames_from_df` builds the per-video labelled-frame exclusion
+dict used to avoid pseudo-labelling frames that have ground truth.
+"""
+from __future__ import annotations
+
+import pathlib
+import re
+from collections import OrderedDict
+
+import pandas as pd
+
+_TRAIN_GROUPS = {
+    "train_1": [1, 2, 3, 4, 5, 6, 7, 8],
+    "train_2": [9, 10, 11, 12, 13, 14, 15, 16],
+    "train_3": [17, 18, 19, 20, 21, 22, 23, 24],
+    "train_4": [25],
+}
+
+
+class BalancedConcatDataset:
+    """Each item is a tuple with one sample from every member dataset; the
+    shorter members wrap around (semi_utis.py:6-23)."""
+
+    def __init__(self, *datasets):
+        self.datasets = datasets
+        self.max_len = max(len(d) for d in self.datasets)
+
+    def __getitem__(self, i):
+        return tuple(d[i % len(d)] for d in self.datasets)
+
+    def __len__(self):
+        return self.max_len
+
+
+def video_files_from_split(ids, debug: bool = False) -> list[pathlib.Path]:
+    """Split video ids -> mp4 paths in the CaDIS video release layout
+    (semi_utis.py:26-46)."""
+    files = []
+    for i in ids:
+        for group, members in _TRAIN_GROUPS.items():
+            if debug and group != "train_1":
+                continue
+            if debug and i not in (1, 3, 6):
+                continue
+            if i in members:
+                files.append(pathlib.Path(group) / f"train{i:02d}.mp4")
+                break
+    return files
+
+
+def excluded_frames_from_df(df: pd.DataFrame, train_videos: list[int]
+                            ) -> "OrderedDict[int, list[int]]":
+    """{video id: [labelled frame ids]} for non-blacklisted train frames
+    (semi_utis.py:49-69). Frame id parsed from the image filename."""
+    train = df.loc[df["vid_num"].isin(train_videos)]
+    train = train.drop(train[train["blacklisted"] == 1].index)
+    out: OrderedDict[int, list[int]] = OrderedDict()
+    for _, row in train.iterrows():
+        m = re.search(r"(\d+)\.\w+$", str(row["img_path"]))
+        frame_id = int(m.group(1)) if m else -1
+        out.setdefault(int(row["vid_num"]), []).append(frame_id)
+    return out

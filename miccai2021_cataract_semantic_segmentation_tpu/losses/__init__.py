@@ -97,6 +97,44 @@ def build_two_scale(cfg: dict, task: int):
     return loss_fn
 
 
+def build_semi_supervised(cfg: dict, task: int):
+    """SemiSupervisedLoss (reference losses/SemiSupervisedLoss.py): split the
+    batch into a labelled first half and pseudo-labelled second half, apply
+    the same named loss to each with separate weights. Supports plain and
+    TwoScale (interm+final) logits. Static batch split — jit-friendly."""
+    lab_cfg = dict(cfg.get("labeled", {"name": "CrossEntropyLoss"}))
+    ulab_cfg = dict(cfg.get("unlabeled", lab_cfg))
+    if lab_cfg["name"] != ulab_cfg["name"]:
+        raise NotImplementedError(
+            f"different labelled/unlabelled losses ({lab_cfg['name']} vs "
+            f"{ulab_cfg['name']}) are not supported (SemiSupervisedLoss.py:37)")
+    w_lab = lab_cfg.get("weight", 1.0)
+    w_ulab = ulab_cfg.get("weight", 1.0)
+    two_scale = lab_cfg["name"] == "TwoScaleLoss"
+    if two_scale:
+        lab_fn = build_two_scale(lab_cfg, task)
+        ulab_fn = build_two_scale(ulab_cfg, task)
+    else:
+        lab_fn = _single_loss(lab_cfg["name"], lab_cfg, task)
+        ulab_fn = _single_loss(ulab_cfg["name"], ulab_cfg, task)
+
+    def semi_fn(outputs, labels, epoch=None):
+        n = labels.shape[0]
+        h = n // 2
+        if two_scale:
+            interm, final = outputs["interm_logits"], outputs["logits"]
+            v_lab = lab_fn(interm[:h], final[:h], labels[:h])
+            v_ulab = ulab_fn(interm[h:], final[h:], labels[h:])
+        else:
+            lg = outputs["logits"]
+            v_lab = lab_fn(lg[:h], labels[:h])
+            v_ulab = ulab_fn(lg[h:], labels[h:])
+        total = w_lab * v_lab + w_ulab * v_ulab
+        return total, {"labeled": v_lab, "unlabeled": v_ulab}
+
+    return semi_fn
+
+
 def build_loss(loss_config: dict, task: int):
     """Top-level factory keyed by loss_config['name'] (BaseManager.py:422-437).
 
@@ -104,7 +142,10 @@ def build_loss(loss_config: dict, task: int):
     `outputs` is the model's output dict: {'logits', 'interm_logits'?,
     'deep_features'?}.
     """
-    name = loss_config.get("name", "CrossEntropyLoss")
+    # a {"losses": {name: weight}} dict with no "name" is the LossWrapper
+    # form used by the EncDec manager configs (EncDec_Manager.py:23-29)
+    name = loss_config.get("name") or \
+        ("LossWrapper" if "losses" in loss_config else "CrossEntropyLoss")
     cfg = dict(loss_config)
     cfg.setdefault("experiment", task)
 
@@ -144,6 +185,9 @@ def build_loss(loss_config: dict, task: int):
             return v, {"TwoScaleLoss": v}
 
         return two_scale_fn
+
+    if name == "SemiSupervisedLoss":
+        return build_semi_supervised(cfg, task)
 
     single = _single_loss(name, cfg, task)
 

@@ -13,7 +13,9 @@ import jax.numpy as jnp
 
 from miccai2021_cataract_semantic_segmentation_tpu.models.deeplab import ASPP, DeepLabv3, DeepLabv3Plus  # noqa: F401
 from miccai2021_cataract_semantic_segmentation_tpu.models.encdec import EncDec  # noqa: F401
-from miccai2021_cataract_semantic_segmentation_tpu.models.ensemble import ensemble_apply, normalise_imagenet  # noqa: F401
+from miccai2021_cataract_semantic_segmentation_tpu.models.discriminator import SimpleDiscriminator  # noqa: F401
+from miccai2021_cataract_semantic_segmentation_tpu.models.ensemble import build_ensemble, ensemble_apply, normalise_imagenet  # noqa: F401
+from miccai2021_cataract_semantic_segmentation_tpu.models.inception import InceptionV3Encoder  # noqa: F401
 from miccai2021_cataract_semantic_segmentation_tpu.models.fcn_unet import FCN, UNet  # noqa: F401
 from miccai2021_cataract_semantic_segmentation_tpu.models.hrnet import HRNetv2  # noqa: F401
 from miccai2021_cataract_semantic_segmentation_tpu.models.ocr import OCRNet  # noqa: F401
@@ -59,4 +61,6 @@ def build_model(graph: dict, task: int, dtype=jnp.float32):
         return FCN(width=graph.get("width", 1.0), **common)
     if name == "UNet":
         return UNet(**common)
+    if name == "SimpleDiscriminator":
+        return SimpleDiscriminator(d=graph.get("d", 64), dtype=dtype)
     raise ValueError(f"Unknown model '{name}'")

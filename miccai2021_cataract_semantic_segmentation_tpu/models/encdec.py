@@ -32,9 +32,14 @@ class EncDec(nn.Module):
     def __call__(self, x, train: bool = False):
         enc_cfg = self.encoder or {"model": "ResNet50"}
         dec_cfg = dict(self.decoder or {"model": "UPerNet"})
-        arch = ENCODER_ALIASES.get(enc_cfg["model"], enc_cfg["model"])
-        feats = ResNetBackbone(arch, (False, False, False), dtype=self.dtype,
-                               name="encoder")(x, train)
+        if enc_cfg["model"] in ("Inceptionv3", "InceptionV3"):
+            from miccai2021_cataract_semantic_segmentation_tpu.models.inception import (
+                InceptionV3Encoder)
+            feats = InceptionV3Encoder(dtype=self.dtype, name="encoder")(x, train)
+        else:
+            arch = ENCODER_ALIASES.get(enc_cfg["model"], enc_cfg["model"])
+            feats = ResNetBackbone(arch, (False, False, False), dtype=self.dtype,
+                                   name="encoder")(x, train)
         conv_out = [feats[f"layer{i}"] for i in (1, 2, 3, 4)]
 
         dec_name = dec_cfg.pop("model", "UPerNet")

@@ -87,6 +87,11 @@ def parse_config(file_path: str, user: str | None = None,
     merged.setdefault("log_path", "logs")
     merged["data"].setdefault("experiment", 1)
     merged["data"]["transform_values"]["experiment"] = merged["data"]["experiment"]
+    # EncDec configs put encoder/decoder at the top level, no graph section
+    # (reference configs/UPN_rf_lvsz.json; EncDec_Manager reads them there)
+    if "graph" not in cfg and "encoder" in cfg:
+        merged["graph"] = {"model": "EncDec", "encoder": cfg["encoder"],
+                           "decoder": cfg.get("decoder", {"model": "UPerNet"})}
     return merged
 
 

@@ -118,6 +118,10 @@ class Trainer:
         self.num_params = int(sum(np.prod(v.shape)
                                   for v in jax.tree.leaves(self.state.params)))
 
+        # MoCo-v2 self-supervised backbone init (BaseManager.py:532-571)
+        if config.get("graph", {}).get("ss_pretrained"):
+            self._load_ss_pretrained(config["graph"]["ss_pretrained"])
+
         # parallelism ------------------------------------------------------
         # Data-parallel mesh over the largest device count that divides the
         # global batch (a 4-image batch on an 8-chip slice uses 4 chips).
@@ -147,6 +151,29 @@ class Trainer:
         self.adaptive_sampler: AdaptiveBatchSampler | None = None
         self.log_every_n_epochs = int(config.get("log_every_n_epochs", 100))
         self.log_every_n_steps = int(config.get("log_every_n_steps", 50))
+
+    def _load_ss_pretrained(self, kind: str):
+        """Initialise the backbone from a MoCo-v2 self-supervised torch
+        checkpoint (BaseManager.py:532-571): strip the 'module.encoder_q.'
+        prefix, drop the fc head, port the resnet subtree."""
+        assert kind == "moco", f"ss_pretrained '{kind}' not supported (moco only)"
+        import pathlib as _pl
+
+        from miccai2021_cataract_semantic_segmentation_tpu.train.port_torch import (
+            load_torch_checkpoint, port_resnet_backbone, strip_moco_prefix, _apply)
+        path = _pl.Path(self.config["ss_pretrained_path"]) / "moco" / \
+            "moco_v2_800ep_pretrain.pth.tar"
+        sd = strip_moco_prefix(load_torch_checkpoint(str(path)))
+        prefix = "encoder" if self.config["graph"].get("model") == "EncDec" \
+            else "backbone"
+        p_up, s_up = port_resnet_backbone(sd, "", (prefix,))
+        params, stats = _apply(self.state.params, self.state.batch_stats,
+                               p_up, s_up)
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            batch_stats=jax.tree.map(jnp.asarray, stats))
+        print(f"[{self.run_id}] initialised {prefix} from MoCo-v2 "
+              f"({len(p_up)} params, {len(s_up)} stats)")
 
     # ---------------------------------------------------------------- data
     def _sample_batch_shape(self):

@@ -1,0 +1,207 @@
+"""Tests for the wider component inventory: Inception encoder, discriminator,
+SemiSupervisedLoss, ensemble builder, run configs, offline tools, semi data
+helpers."""
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+# ---------------------------------------------------------------- inception
+
+def test_inception_encoder_matches_torchvision():
+    from miccai2021_cataract_semantic_segmentation_tpu.models import InceptionV3Encoder
+
+    m = InceptionV3Encoder()
+    x = jnp.zeros((1, 299, 299, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, False)
+    feats = m.apply(variables, x)
+    # cut-point channels (reference models/Inception.py:20-58)
+    assert feats["layer1"].shape[-1] == 192
+    assert feats["layer2"].shape[-1] == 288
+    assert feats["layer3"].shape[-1] == 768
+    assert feats["layer4"].shape[-1] == 2048
+    # spatial sizes at 299x299 match the torchvision comments
+    assert feats["layer1"].shape[1:3] == (71, 71)
+    assert feats["layer2"].shape[1:3] == (35, 35)
+    assert feats["layer3"].shape[1:3] == (17, 17)
+    assert feats["layer4"].shape[1:3] == (8, 8)
+
+    # parameter-count golden: torchvision inception_v3 total 27,161,264
+    # minus fc (2048*1000+1000 = 2,049,000) minus InceptionAux
+    # (conv0 98,304+256 + conv1 2,457,600+1,536 + fc 769,000 = 3,326,696)
+    ours = int(sum(np.prod(v.shape)
+                   for v in jax.tree.leaves(variables["params"])))
+    assert ours == 21_785_568, ours
+
+
+def test_encdec_with_inception_encoder():
+    from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
+    m = build_model({"model": "UPerNet", "encoder": {"model": "Inceptionv3"}},
+                    task=1)
+    x = jnp.zeros((1, 96, 128, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, False)
+    out = m.apply(variables, x)
+    assert out["logits"].shape[0] == 1 and out["logits"].shape[-1] == 8
+
+
+# ------------------------------------------------------------ discriminator
+
+def test_simple_discriminator():
+    from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
+    m = build_model({"model": "SimpleDiscriminator", "d": 8}, task=1)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, False)
+    out = m.apply(variables, x)
+    assert out.shape == (2, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+# ----------------------------------------------------------- semi-sup loss
+
+def test_semi_supervised_loss_split_and_weights():
+    from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
+    fn = build_loss({"name": "SemiSupervisedLoss",
+                     "labeled": {"name": "CrossEntropyLoss", "weight": 1.0},
+                     "unlabeled": {"name": "CrossEntropyLoss", "weight": 0.5}},
+                    task=1)
+    rng = np.random.default_rng(0)
+    lg = jnp.asarray(rng.normal(size=(4, 8, 8, 8)).astype(np.float32))
+    lb = jnp.asarray(rng.integers(0, 8, (4, 8, 8), dtype=np.int32))
+    total, terms = fn({"logits": lg}, lb)
+    # total == w_lab * lab + w_ulab * ulab, halves split at batch//2
+    from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import cross_entropy
+    lab = cross_entropy(lg[:2], lb[:2], ignore_index=-1)
+    ulab = cross_entropy(lg[2:], lb[2:], ignore_index=-1)
+    np.testing.assert_allclose(float(total), float(lab + 0.5 * ulab), rtol=1e-6)
+    assert set(terms) == {"labeled", "unlabeled"}
+
+
+def test_semi_supervised_two_scale():
+    from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
+    fn = build_loss({"name": "SemiSupervisedLoss",
+                     "labeled": {"name": "TwoScaleLoss",
+                                 "interm": {"name": "LovaszSoftmax", "weight": 0.4},
+                                 "final": {"name": "LovaszSoftmax", "weight": 1.0}},
+                     "unlabeled": {"name": "TwoScaleLoss",
+                                   "interm": {"name": "LovaszSoftmax", "weight": 0.4},
+                                   "final": {"name": "LovaszSoftmax", "weight": 1.0},
+                                   "weight": 0.3}}, task=2)
+    rng = np.random.default_rng(0)
+    lg = jnp.asarray(rng.normal(size=(2, 8, 8, 17)).astype(np.float32))
+    lb = jnp.asarray(rng.integers(0, 17, (2, 8, 8), dtype=np.int32))
+    total, _ = jax.jit(lambda o, l: fn(o, l))({"logits": lg, "interm_logits": lg}, lb)
+    assert np.isfinite(float(total))
+
+
+# ----------------------------------------------------------------- ensemble
+
+def test_build_ensemble_runs():
+    from miccai2021_cataract_semantic_segmentation_tpu.models import (
+        build_ensemble, ensemble_apply)
+    cfg = {"merge": "mean",
+           "members": {"1": {"model": "FCN", "width": 0.25},
+                       "2": {"model": "FCN", "width": 0.25}}}
+    members, merge = build_ensemble(cfg, task=1)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    probs = ensemble_apply(members, x, merge)
+    assert probs.shape == (1, 64, 64, 8)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+
+
+# ------------------------------------------------------------------ configs
+
+@pytest.mark.parametrize("cfg_name", [
+    "OCRNet_rf_lvsz", "DeepLabv3_rf_lvsz", "DeepLabv3Plus_rf_lvsz",
+    "UPN_rf_lvsz", "OCRNet_pretrained_t1", "OCRNet_pretrained_t2",
+    "OCRNet_pretrained_t3",
+])
+def test_run_configs_parse_and_build(cfg_name):
+    from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
+    from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
+    from miccai2021_cataract_semantic_segmentation_tpu.train.config import parse_config
+
+    cfg = parse_config(str(REPO / "configs" / f"{cfg_name}.json"))
+    task = cfg["data"]["experiment"]
+    model = build_model(cfg["graph"], task)
+    assert model is not None
+    loss_cfg = cfg.get("loss") or {}
+    if loss_cfg:
+        assert build_loss(loss_cfg, task) is not None
+    # per-epoch schedule keys present
+    assert "repeat_factor" in cfg["data"]
+
+
+# -------------------------------------------------------------------- tools
+
+def _tiny_cadis_tree(root: pathlib.Path, n_videos=2, n_frames=3):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for v in range(1, n_videos + 1):
+        (root / f"Video{v:02d}" / "Images").mkdir(parents=True)
+        (root / f"Video{v:02d}" / "Labels").mkdir(parents=True)
+        for f in range(n_frames):
+            img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+            lbl = rng.integers(0, 36, (32, 48), dtype=np.uint8)
+            Image.fromarray(img).save(root / f"Video{v:02d}" / "Images" / f"frame{f:06d}.png")
+            Image.fromarray(lbl).save(root / f"Video{v:02d}" / "Labels" / f"frame{f:06d}.png")
+
+
+def test_build_frame_table(tmp_path):
+    import sys
+    sys.path.insert(0, str(REPO / "tools"))
+    from build_frame_table import build_frame_table
+    _tiny_cadis_tree(tmp_path)
+    df = build_frame_table(tmp_path)
+    assert len(df) == 6
+    assert df["vid_num"].tolist() == [1, 1, 1, 2, 2, 2]
+    from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+    counts = df[list(taxonomy.CANONICAL_NAMES)].to_numpy()
+    assert counts.sum() == 6 * 32 * 48  # every pixel accounted for
+
+
+def test_class_analysis(tmp_path):
+    import sys
+    sys.path.insert(0, str(REPO / "tools"))
+    from build_frame_table import build_frame_table
+    from class_analysis import class_distribution, split_quality
+    _tiny_cadis_tree(tmp_path)
+    df = build_frame_table(tmp_path)
+    dist = class_distribution(df, 2)
+    assert len(dist) == 18  # 17 + ignore
+    np.testing.assert_allclose(dist["pixel_share"].sum(), 1.0, rtol=1e-9)
+    rep = split_quality(df, 0)  # debug split [[1],[5]]
+    assert rep["train_frames"] == 3
+
+
+# ---------------------------------------------------------------- semi data
+
+def test_balanced_concat_and_video_files():
+    from miccai2021_cataract_semantic_segmentation_tpu.data import (
+        BalancedConcatDataset, video_files_from_split, excluded_frames_from_df)
+    a = [(i, "a") for i in range(5)]
+    b = [(i, "b") for i in range(2)]
+    d = BalancedConcatDataset(a, b)
+    assert len(d) == 5
+    assert d[4] == ((4, "a"), (0, "b"))  # shorter member wraps
+
+    files = video_files_from_split([1, 9, 25])
+    assert files[0].as_posix() == "train_1/train01.mp4"
+    assert files[1].as_posix() == "train_2/train09.mp4"
+    assert files[2].as_posix() == "train_4/train25.mp4"
+
+    df = pd.DataFrame({
+        "vid_num": [1, 1, 2],
+        "img_path": ["Video01/Images/frame000010.png",
+                     "Video01/Images/frame000020.png",
+                     "Video02/Images/frame000030.png"],
+        "blacklisted": [0, 1, 0],
+    })
+    ex = excluded_frames_from_df(df, [1, 2])
+    assert ex == {1: [10], 2: [30]}

@@ -168,3 +168,35 @@ def test_pipeline_epoch():
         assert lbls.shape == (2, 16, 24)
         seen += 1
     assert seen == 6
+
+
+# ------------------------------------------------------------- native IO
+
+def test_native_batch_pipeline(tmp_path):
+    """C++ thread-pool decode+remap reaches parity with the Python path."""
+    import pandas as pd
+    from PIL import Image
+    from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+    from miccai2021_cataract_semantic_segmentation_tpu.data import (
+        SegDataset, assemble_batch, native_io)
+    if not native_io.available():
+        import pytest
+        pytest.skip("native IO toolchain unavailable")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+        lbl = rng.integers(0, 36, (32, 48), dtype=np.uint8)
+        Image.fromarray(img).save(tmp_path / f"i{i}.png")
+        Image.fromarray(lbl).save(tmp_path / f"l{i}.png")
+        rows.append({"img_path": f"i{i}.png", "lbl_path": f"l{i}.png",
+                     "vid_num": 1})
+    df = pd.DataFrame(rows)
+    ds = SegDataset(df, task=2, data_path=str(tmp_path))
+    imgs, lbls, idx = assemble_batch(ds, [0, 1, 2, 3])
+    # parity with the per-item Python path
+    for i in range(4):
+        img_ref, lbl_ref, _ = ds[i]
+        np.testing.assert_array_equal(imgs[i], img_ref)
+        np.testing.assert_array_equal(lbls[i], lbl_ref.astype(np.int32))
+    assert int(lbls.max()) <= taxonomy.num_label_values(2) - 1
