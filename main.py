@@ -38,6 +38,13 @@ def main(argv=None):
     config = parse_config(args.config, args.user, args.device)
     config = apply_cli_overrides(config, args)
 
+    # anomaly-detection analogue of the reference's global
+    # torch.autograd.set_detect_anomaly(True) (main.py:8): opt-in because it
+    # disables some XLA optimisations. config: {"debug_nans": true}
+    if config.get("debug_nans") or config.get("debugging"):
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
     trainer = Trainer(config)
     mode = config.get("mode", "training")
     if mode == "training":

@@ -43,10 +43,12 @@ def confusion_matrix(logits_or_pred: jnp.ndarray, labels: jnp.ndarray,
         pred = logits_or_pred
     pred = pred.reshape(-1)
     lbl = labels.reshape(-1).astype(jnp.int32)
-    # one-hot matmul on the MXU; counts < 2^24 per call are exact in f32
-    oh_pred = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)
+    # one-hot matmul on the MXU. bf16 one-hots (exact: values are 0/1) halve
+    # the HBM traffic of the dominant (P, C) operands; accumulation is f32
+    # via preferred_element_type so counts < 2^24 per call stay exact.
+    oh_pred = jax.nn.one_hot(pred, num_classes, dtype=jnp.bfloat16)
     n_lbl = num_classes + 1 if drop_ignore_col else num_classes
-    oh_lbl = jax.nn.one_hot(lbl, n_lbl, dtype=jnp.float32)
+    oh_lbl = jax.nn.one_hot(lbl, n_lbl, dtype=jnp.bfloat16)
     cm = jnp.dot(oh_pred.T, oh_lbl, preferred_element_type=jnp.float32)
     if drop_ignore_col and n_lbl != num_classes:
         cm = cm[:, :num_classes]

@@ -54,7 +54,7 @@ def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
     global sort — per-shard sorting keeps all data local to each chip.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     def apply(outputs, lbl, epoch):
         def local(outputs, lbl, epoch):

@@ -105,6 +105,10 @@ class Trainer:
         # model / loss / optimiser ----------------------------------------
         dtype = jnp.bfloat16 if config.get("precision", "bf16") == "bf16" \
             else jnp.float32
+        if config.get("graph", {}).get("model") == "Ensemble" or \
+                config.get("manager") == "Ensemble":
+            self._init_ensemble(config, dtype)
+            return
         self.model = build_model(config.get("graph", {}), self.task, dtype=dtype)
         loss_cfg = dict(config.get("loss") or {"name": "CrossEntropyLoss"})
         if not loss_cfg.get("name"):
@@ -149,6 +153,48 @@ class Trainer:
         self.metrics: dict = {}
         self.ind_counts = np.zeros(len(self.train_set), np.int64)
         self.adaptive_sampler: AdaptiveBatchSampler | None = None
+        self.log_every_n_epochs = int(config.get("log_every_n_epochs", 100))
+        self.log_every_n_steps = int(config.get("log_every_n_steps", 50))
+
+    def _init_ensemble(self, config: dict, dtype):
+        """Ensemble inference setup (reference Ensemble_Manager.py:7-16 +
+        BaseManager.infer): members restored from their own run checkpoints,
+        merged softmax probabilities drive the confusion matrix."""
+        assert self.mode == "inference", "Ensemble supports inference only"
+        from miccai2021_cataract_semantic_segmentation_tpu.models import (
+            build_ensemble, ensemble_apply)
+        from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
+            pad_reflect_hw)
+        from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import (
+            confusion_matrix)
+        graph = config.get("graph") or {k: config[k] for k in
+                                        ("members", "merge") if k in config}
+        members, merge = build_ensemble(graph, self.task,
+                                        config.get("log_path", "logs"),
+                                        dtype=dtype)
+        pad = self.pipeline.valid_pad
+
+        def step(state, images_u8, labels_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            lbl = labels_u8.astype(jnp.int32)
+            if pad:
+                x = pad_reflect_hw(x)
+                lbl = pad_reflect_hw(lbl)
+            probs = ensemble_apply(members, x, merge)
+            return probs, lbl, confusion_matrix(probs, lbl)
+
+        self.eval_step = jax.jit(step)
+        self.state = None
+        self.mesh = None
+        self.num_params = 0
+        self.train_writer = TBLogger(self.run_dir / "train")
+        self.valid_writer = TBLogger(self.run_dir / "valid")
+        self.global_step = 0
+        self.start_epoch = 0
+        self.best_miou = 0.0
+        self.best_loss = float("inf")
+        self.metrics = {}
+        self.adaptive_sampler = None
         self.log_every_n_epochs = int(config.get("log_every_n_epochs", 100))
         self.log_every_n_steps = int(config.get("log_every_n_steps", 50))
 

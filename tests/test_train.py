@@ -149,3 +149,43 @@ def test_trainer_loader_schedules(tmp_path):
     for e in range(4):
         b = t._epoch_batches(e, rng)
         assert b.shape == (t.steps_per_epoch, t.batch_size)
+
+
+def test_trainer_ensemble_inference(tmp_path):
+    """Ensemble manager path: merged-member inference through Trainer.infer."""
+    from miccai2021_cataract_semantic_segmentation_tpu.data import ArrayDataset
+    from miccai2021_cataract_semantic_segmentation_tpu.train import Trainer
+    rng = np.random.default_rng(0)
+    n = 4
+    ds = ArrayDataset(rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8),
+                      rng.integers(0, 8, (n, 32, 32), dtype=np.uint8))
+    df = pd.DataFrame({"vid_num": np.ones(n, int)})
+    config = {
+        "name": "ens", "mode": "inference", "manager": "Ensemble",
+        "graph": {"model": "Ensemble", "merge": "mean",
+                  "members": {"1": {"model": "FCN", "width": 0.125},
+                              "2": {"model": "UNet"}}},
+        "data": {"experiment": 1, "batch_size": 1, "split": 0,
+                 "transforms": []},
+        "loss": {}, "train": {},
+        "log_path": str(tmp_path), "precision": "f32", "seed": 0,
+    }
+    t = Trainer(config, datasets=(ds, ds, df, df))
+    results = t.infer()
+    assert 0.0 <= results["miou"] <= 1.0
+    assert results["frames_per_sec"] > 0
+
+
+def test_untransform_and_clipped_argmax():
+    import jax.numpy as jnp
+    from miccai2021_cataract_semantic_segmentation_tpu.ops import (
+        clipped_argmax, to_one_hot, untransform)
+    probs = jnp.asarray([[[[0.9, 0.1], [0.5, 0.5]]]])  # (1,1,2,2)
+    lbl = clipped_argmax(probs, 0.6, ignore_value=255)
+    assert lbl[0, 0, 0] == 0 and lbl[0, 0, 1] == 255
+    oh = to_one_hot(jnp.asarray([[[1, 0]]]), 2)
+    assert oh.shape == (1, 1, 2, 2) and float(oh[0, 0, 0, 1]) == 1.0
+    x = jnp.arange(8.0).reshape(2, 2, 2)
+    y = untransform(x, [-1, 0])  # first item h-flipped, second untouched
+    np.testing.assert_array_equal(np.asarray(y[0]), np.asarray(x[0, :, ::-1]))
+    np.testing.assert_array_equal(np.asarray(y[1]), np.asarray(x[1]))
