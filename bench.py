@@ -43,8 +43,11 @@ def main():
     h, w = 540, 960  # padded to 544 on device
     model = build_model({"model": "OCRNet", "backbone": "resnet50",
                          "out_stride": 8}, task, dtype=jnp.bfloat16)
+    # lovasz_impl "bucket" = the flagship config's recipe (sort-free Pallas
+    # histogram Lovász, O(1/2048) deviation from the exact sort path)
     loss_fn = build_loss({
         "name": "TwoScaleLoss",
+        "lovasz_impl": "bucket",
         "interm": {"name": "LovaszSoftmax", "weight": 0.4},
         "final": {"name": "LovaszSoftmax", "weight": 1.0},
     }, task)

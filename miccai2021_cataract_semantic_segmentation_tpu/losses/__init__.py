@@ -33,7 +33,8 @@ def _single_loss(name: str, cfg: dict, task: int):
             lg, lb,
             classes_to_consider=cfg.get("classes_to_consider", "present"),
             classes_to_ignore=cfg.get("classes_to_ignore"),
-            per_image=cfg.get("per_image", False))
+            per_image=cfg.get("per_image", False),
+            impl=cfg.get("lovasz_impl", "sort"))
     if name == "OhemCrossEntropy":
         return lambda lg, lb: ohem_cross_entropy(
             lg, lb, ignore_index=ign,
@@ -70,6 +71,7 @@ def build_two_scale(cfg: dict, task: int):
 
     if _is_default_lovasz(interm_cfg) and _is_default_lovasz(final_cfg):
         ign = interm_cfg.get("classes_to_ignore")
+        impl = cfg.get("lovasz_impl", interm_cfg.get("lovasz_impl", "sort"))
 
         def fused_fn(interm_logits, final_logits, labels):
             h, w = labels.shape[-2:]
@@ -80,7 +82,7 @@ def build_two_scale(cfg: dict, task: int):
                 fused_two_scale_lovasz)
             return fused_two_scale_lovasz(interm_logits, final_logits, labels,
                                           w_interm, w_final,
-                                          classes_to_ignore=ign)
+                                          classes_to_ignore=ign, impl=impl)
 
         return fused_fn
 

@@ -140,8 +140,16 @@ def lovasz_errors(probs: Array, labels: Array, valid: Array):
     return errors.T, fg.T, present
 
 
+def _per_class_fn(impl: str):
+    if impl == "bucket":
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.bucket_lovasz import (
+            bucket_lovasz_per_class)
+        return bucket_lovasz_per_class
+    return _sorted_lovasz_per_class
+
+
 def _lovasz_flat(probs: Array, labels: Array, valid: Array,
-                 class_mask: Array) -> Array:
+                 class_mask: Array, impl: str = "sort") -> Array:
     """Lovász-Softmax on flattened (P, C) probs / (P,) labels.
 
     `valid` (P,) masks pixels out entirely; `class_mask` (C,) masks which
@@ -149,7 +157,7 @@ def _lovasz_flat(probs: Array, labels: Array, valid: Array,
     -> indicator; the 'present' filter is applied on top dynamically).
     """
     errors_t, fg_t, present = lovasz_errors(probs, labels, valid)
-    per_class = _sorted_lovasz_per_class(errors_t, fg_t)  # (C,)
+    per_class = _per_class_fn(impl)(errors_t, fg_t)  # (C,)
     m = class_mask.astype(jnp.float32) * present
     return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -157,7 +165,7 @@ def _lovasz_flat(probs: Array, labels: Array, valid: Array,
 def lovasz_softmax(logits: Array, labels: Array,
                    classes_to_consider=None,
                    classes_to_ignore: int | None = None,
-                   per_image: bool = False) -> Array:
+                   per_image: bool = False, impl: str = "sort") -> Array:
     """Multi-class Lovász-Softmax (reference losses/LovaszSoftmax.py:19-95).
 
     `classes_to_consider`: None/'present' (default) averages over classes
@@ -165,6 +173,8 @@ def lovasz_softmax(logits: Array, labels: Array,
     `classes_to_ignore`: a label value whose pixels are excluded entirely
     (the exp-2/3 ignore id). Default None matches the reference's default
     config, where ignore pixels count as background for every class.
+    `impl`: 'sort' (exact, reference semantics) or 'bucket' (sort-free
+    histogram formulation, O(1/2048) approximation — see bucket_lovasz.py).
     """
     num_classes = logits.shape[-1]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -181,25 +191,26 @@ def lovasz_softmax(logits: Array, labels: Array,
             # 'all': no presence filter — emulate by passing full mask and
             # overriding presence with validity of the class list only
             return _lovasz_flat_all(p.reshape(-1, num_classes), l.reshape(-1),
-                                    v.reshape(-1), class_mask)
+                                    v.reshape(-1), class_mask, impl)
         return _lovasz_flat(p.reshape(-1, num_classes), l.reshape(-1),
-                            v.reshape(-1), class_mask)
+                            v.reshape(-1), class_mask, impl)
 
     if per_image:
         return jnp.mean(jax.vmap(flat)(probs, labels))
     return flat(probs, labels)
 
 
-def _lovasz_flat_all(probs, labels, valid, class_mask):
+def _lovasz_flat_all(probs, labels, valid, class_mask, impl: str = "sort"):
     errors_t, fg_t, _ = lovasz_errors(probs, labels, valid)
-    per_class = _sorted_lovasz_per_class(errors_t, fg_t)
+    per_class = _per_class_fn(impl)(errors_t, fg_t)
     m = class_mask.astype(jnp.float32)
     return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def fused_two_scale_lovasz(interm_logits: Array, final_logits: Array,
                            labels: Array, w_interm: float, w_final: float,
-                           classes_to_ignore: int | None = None) -> Array:
+                           classes_to_ignore: int | None = None,
+                           impl: str = "sort") -> Array:
     """TwoScaleLoss(Lovász, Lovász) with BOTH scales' class rows stacked into
     ONE (2C, P) sort call — the sort dominates the loss cost on TPU and XLA
     parallelises rows, so fusing the scales roughly halves the loss time
@@ -213,8 +224,8 @@ def fused_two_scale_lovasz(interm_logits: Array, final_logits: Array,
     p_f = jax.nn.softmax(final_logits.astype(jnp.float32), -1).reshape(-1, num_classes)
     e_i, f_i, pr_i = lovasz_errors(p_i, l_flat, valid)
     e_f, f_f, pr_f = lovasz_errors(p_f, l_flat, valid)
-    per_class = _sorted_lovasz_per_class(jnp.concatenate([e_i, e_f], axis=0),
-                                         jnp.concatenate([f_i, f_f], axis=0))
+    per_class = _per_class_fn(impl)(jnp.concatenate([e_i, e_f], axis=0),
+                                    jnp.concatenate([f_i, f_f], axis=0))
     loss_i = jnp.sum(per_class[:num_classes] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
     loss_f = jnp.sum(per_class[num_classes:] * pr_f) / jnp.maximum(jnp.sum(pr_f), 1.0)
     return w_interm * loss_i + w_final * loss_f
