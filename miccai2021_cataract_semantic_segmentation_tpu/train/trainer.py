@@ -284,6 +284,10 @@ class Trainer:
         timer = StepTimer()
         step_rng = jax.random.fold_in(self.rng, 17)
 
+        # config {"profile_epoch": N} captures a jax.profiler trace of epoch
+        # N's steps under <run_dir>/profile (tracing subsystem; SURVEY.md §5)
+        profile_epoch = cfg.get("profile_epoch")
+
         for epoch in range(self.start_epoch, self.epochs):
             batches = self._epoch_batches(epoch, np_rng)
             for b in batches.reshape(-1):
@@ -292,6 +296,11 @@ class Trainer:
             running_loss = jnp.zeros(())
             adaptive = self.train_schedule.get(epoch) == "adaptive_batching"
             t_epoch = time.perf_counter()
+            import contextlib
+            from miccai2021_cataract_semantic_segmentation_tpu.train.loggers import profile_steps
+            prof = contextlib.ExitStack()
+            if profile_epoch == epoch:
+                prof.enter_context(profile_steps(self.run_dir))
             for images, labels, idx in epoch_iterator(
                     self.train_set, batches, self.pipeline,
                     seed=self.seed + epoch, prefetch=2,
@@ -318,6 +327,7 @@ class Trainer:
                                              self.global_step)
                 self.global_step += 1
 
+            prof.close()
             # epoch-level metrics (single device->host fetch)
             cm = np.asarray(running_cm)
             bd = mean_iou_breakdown(cm, self.task)

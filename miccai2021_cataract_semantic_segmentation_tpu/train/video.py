@@ -44,12 +44,14 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
         video_paths = discover_videos(cfg["data_path"], cfg.get("video_ids", []))
     assert video_paths, "no videos found/given for video inference"
 
-    ds = VideoDataset(video_paths, 540, 960)
+    height = int(cfg.get("video_height", 540))
+    width = int(cfg.get("video_width", 960))
+    ds = VideoDataset(video_paths, height, width)
     indices = np.arange(0, len(ds), frame_freq)
     fourcc = cv2.VideoWriter_fourcc(*"XVID")
     writers = {}
     for vid, path in enumerate(video_paths):
-        shape = (2 * 960, 540) if side_by_side else (960, 540)
+        shape = (2 * width, height) if side_by_side else (width, height)
         out = trainer.run_dir / f"{pathlib.Path(path).stem}_" \
             f"{cfg.get('graph', {}).get('model', 'model')}.avi"
         writers[vid] = cv2.VideoWriter(str(out), fourcc, fps, shape)
@@ -67,12 +69,14 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
     state = trainer.state
     eval_step = trainer.eval_step
     n_frames = 0
-    dummy_lbl = np.zeros((batch_size, 540, 960), np.uint8)
+    dummy_lbl = np.zeros((batch_size, height, width), np.uint8)
     for frames, vids in Prefetcher(batches(), depth=2):
         logits, _, _ = eval_step(state, frames, dummy_lbl)
         preds = np.asarray(jnp.argmax(logits, -1))
+        # the valid pipeline may reflect-pad the height; crop symmetrically
+        off = (preds.shape[1] - height) // 2
         for k in range(len(frames)):
-            pred = preds[k][:540] if preds[k].shape[0] != 540 else preds[k]
+            pred = preds[k][off:off + height] if off else preds[k]
             colour = mask_to_colormap(pred, trainer.task)
             if side_by_side:
                 out_img = np.concatenate([np.asarray(frames[k]), colour], axis=1)

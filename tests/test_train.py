@@ -189,3 +189,44 @@ def test_untransform_and_clipped_argmax():
     y = untransform(x, [-1, 0])  # first item h-flipped, second untouched
     np.testing.assert_array_equal(np.asarray(y[0]), np.asarray(x[0, :, ::-1]))
     np.testing.assert_array_equal(np.asarray(y[1]), np.asarray(x[1]))
+
+
+def test_demo_video_inference(tmp_path):
+    """Streaming video inference writes colour-mapped side-by-side AVIs."""
+    import cv2
+    from miccai2021_cataract_semantic_segmentation_tpu.data import ArrayDataset
+    from miccai2021_cataract_semantic_segmentation_tpu.train import Trainer
+    from miccai2021_cataract_semantic_segmentation_tpu.train.video import demo_infer
+
+    rng = np.random.default_rng(0)
+    h, w = 64, 96
+    vids = []
+    for v in range(2):
+        path = tmp_path / f"vid{v}.avi"
+        wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"XVID"),
+                             10, (w, h))
+        for _ in range(10):
+            wr.write(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        wr.release()
+        vids.append(str(path))
+
+    ds = ArrayDataset(rng.integers(0, 255, (4, h, w, 3), dtype=np.uint8),
+                      rng.integers(0, 8, (4, h, w), dtype=np.uint8))
+    df = pd.DataFrame({"vid_num": np.ones(4, int)})
+    config = {
+        "name": "vid", "mode": "inference",
+        "graph": {"model": "FCN", "width": 0.125},
+        "data": {"experiment": 1, "batch_size": 1, "split": 0,
+                 "transforms": []},
+        "loss": {}, "train": {},
+        "video_height": h, "video_width": w,
+        "log_path": str(tmp_path), "precision": "f32", "seed": 0,
+    }
+    t = Trainer(config, datasets=(ds, ds, df, df))
+    n = demo_infer(t, video_paths=vids, batch_size=4)
+    assert n >= 16  # 20 frames, batches of 4, drop tail
+    outs = list(t.run_dir.glob("*.avi"))
+    assert len(outs) == 2
+    cap = cv2.VideoCapture(str(outs[0]))
+    ok, frame = cap.read()
+    assert ok and frame.shape == (h, 2 * w, 3)
