@@ -14,19 +14,21 @@ the estimate exact up to within-bucket error-vs-rank correlation, giving
 shapes) and gradient cosine > 0.9999 vs the sort path.
 
 TPU mapping: histograms are awkward on TPU (no fast scatter), so the bucket
-id is split two-level, b = 32*hi + lo, and the joint (hi, lo) histogram
-becomes ONE MXU matmul per 128-pixel lane row:
+id is split two-level, b = 32*hi + lo, and the joint histogram becomes one
+MXU matmul per 8192-pixel chunk:
 
-    acc[64, 128] += onehot_hi[64, p] @ (onehot_lo * channel_weights)[p, 128]
+    hist[64 hi, 128 cols] += onehot_hi[64, k] (x) B[128, k]   (transposed RHS)
 
-with the 4 weighted channels [n_fg, n_bg, sum_e*fg, sum_e*bg] packed along
-the 128-wide N dimension (columns c*32+lo) — both matmul dimensions are MXU
-friendly, and the one-hots live only in VMEM/registers. The backward gather
-g[bucket(e_p)] is the bilinear form onehot_hi @ table @ onehot_lo^T, again
-two dense matmuls. fwd+bwd are linear passes over the data instead of two
-O(P log P) sorts.
+where B's 128 rows are [count | count*e] x the combined column lo + 32*fg —
+so a single matmul accumulates all four channels [n_fg, n_bg, se_fg, se_bg].
+The backward gather g[bucket(e_p)] is tbl^T[comb, hi] @ onehot_hi[hi, k]
+followed by a masked sublane reduce. Layout is the whole game: every one-hot
+is built LANE-major ((rows, pixels) with pixels in the 128-lane axis, rows
+in sublanes) and contracted along lanes — sublane-major construction of the
+same one-hots is ~20x slower. fwd+bwd are linear passes over the data
+(~60 + ~7 ms at 17x4.2M) instead of two O(P log P) sorts (~350 ms each).
 
-vs the sort path (losses/functional.py): ~10x faster at 8x544x960x17 but
+vs the sort path (losses/functional.py): ~9x faster at 8x544x960x17 but
 inexact at O(1/B); select with loss config {"lovasz_impl": "bucket"}.
 """
 from __future__ import annotations
@@ -80,11 +82,8 @@ def _hist_kernel(e_ref, fg_ref, out_ref, *, p_real):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # lane-constant column patterns: col = c * _LO + lo (built once, (1, 128))
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    col_lo = col % _LO
-    col_c = col // _LO
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, _STEP), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, _STEP), 0)
 
     def body(s, acc):
         e = e_ref[0, 0, 0, pl.ds(s * _STEP, _STEP)]     # (_STEP,)
@@ -94,17 +93,20 @@ def _hist_kernel(e_ref, fg_ref, out_ref, *, p_real):
         bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
         bid = jnp.where(gidx < p_real, bid, -1)
         hi = jnp.where(bid < 0, -1, bid // _LO)
-        lo = jnp.where(bid < 0, -1, bid % _LO)
-        # A[h, k] = 1[hi[k] == h]; B[k, col] = 1[lo[k] == col%32]*w_{col//32}[k]
-        a2 = (hi[None, :] == iota_h).astype(jnp.bfloat16)
-        e2 = e[:, None]
-        fg2 = fg[:, None]
-        w = jnp.where(col_c == 0, fg2,
-            jnp.where(col_c == 1, 1.0 - fg2,
-            jnp.where(col_c == 2, e2 * fg2, e2 * (1.0 - fg2))))
-        b2 = jnp.where(lo[:, None] == col_lo, w, 0.0).astype(jnp.bfloat16)
+        # combined column id folds fg into lo: 0..63 = lo + 32*fg
+        comb = jnp.where(bid < 0, -1,
+                         bid % _LO + _LO * fg.astype(jnp.int32))
+        # Everything lane-major ((rows, _STEP) — full vreg lanes); the RHS
+        # is contracted along ITS lanes too (transposed-RHS matmul):
+        #   out[h, col] += sum_k A[h, k] * B[col, k]
+        # A[h, k] = 1[hi[k] == h]
+        # B[0:64, k] = 1[comb[k] == col]; B[64:128, k] = same * e[k]
+        a2 = (hi[None, :] == iota_h).astype(jnp.bfloat16)        # (64, _STEP)
+        mask = (comb[None, :] == iota_c).astype(jnp.bfloat16)    # (64, _STEP)
+        b2t = jnp.concatenate([mask, mask * e[None, :].astype(jnp.bfloat16)],
+                              axis=0)                            # (128, _STEP)
         return acc + jax.lax.dot_general(
-            a2, b2, dimension_numbers=(((1,), (0,)), ((), ())),
+            a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)    # (64, 128)
 
     acc = jax.lax.fori_loop(0, _INNER, body, jnp.zeros((_HI, 128), jnp.float32))
@@ -131,9 +133,14 @@ def _bucket_histogram(errors_t, fg_t):
         out_shape=jax.ShapeDtypeStruct((r, _HI, 128), jnp.float32),
         interpret=_use_interpret(),
     )(_chunk_view(errors_t, p_pad), _chunk_view(fg_t, p_pad))
-    # (R, hi, c*_LO+lo) -> (R, hi, 4, lo) -> (R, hi*lo, 4)
-    out = out.reshape(r, _HI, 4, _LO).transpose(0, 1, 3, 2)
-    return out.reshape(r, N_BUCKETS, 4)
+    # columns: [count(comb) | sum_e(comb)] with comb = lo + _LO*fg
+    # -> channels [n_fg, n_bg, se_fg, se_bg] per bucket hi*_LO+lo
+    out = out.reshape(r, _HI, 2, 2, _LO)     # (R, hi, {count,se}, {bg,fg}, lo)
+    out = out.transpose(0, 1, 4, 3, 2).reshape(r, N_BUCKETS, 4)
+    # flattened last axis order: [fg_flag * 2 + kind] with kind 0=count 1=se
+    n_bg, se_bg = out[..., 0], out[..., 1]
+    n_fg, se_fg = out[..., 2], out[..., 3]
+    return jnp.stack([n_fg, n_bg, se_fg, se_bg], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -143,23 +150,26 @@ def _bucket_histogram(errors_t, fg_t):
 # ---------------------------------------------------------------------------
 
 def _grad_kernel(e_ref, fg_ref, tbl_ref, out_ref):
-    tbl = tbl_ref[0, :, :].astype(jnp.bfloat16)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_STEP, _HI), 1)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (_STEP, _LO), 1)
+    # transposed form: every tensor is (64, _STEP) — 64 sublanes x full lanes,
+    # the same layout family as the fwd kernel's efficient a2 construction
+    tbl_t = tbl_ref[0, :, :].T.astype(jnp.bfloat16)  # (comb, hi)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, _STEP), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, _STEP), 0)
+
     def body(s, carry):
         e = e_ref[0, 0, 0, pl.ds(s * _STEP, _STEP)]
         fg = fg_ref[0, 0, 0, pl.ds(s * _STEP, _STEP)]
         bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
         hi = bid // _LO
-        lo = bid % _LO
-        oh_hi = (hi[:, None] == iota_h).astype(jnp.bfloat16)  # (_STEP, 64)
-        # single M=_STEP, K=64, N=64 matmul
+        comb = bid % _LO + _LO * fg.astype(jnp.int32)
+        oh_hi = (hi[None, :] == iota_h).astype(jnp.bfloat16)   # (64, _STEP)
+        # grad_p = sum_c 1[comb_p == c] * (TBL^T @ oh_hi)[c, p]:
+        # one M=64, K=64, N=_STEP matmul + masked sublane reduce
         tmp = jax.lax.dot_general(
-            oh_hi, tbl, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (_STEP, 64)
-        sel = jnp.where(fg[:, None] > 0, tmp[:, :_LO], tmp[:, _LO:])
-        oh_lo = (lo[:, None] == iota_l).astype(jnp.float32)
-        out_ref[0, 0, 0, pl.ds(s * _STEP, _STEP)] = jnp.sum(sel * oh_lo, axis=1)
+            tbl_t, oh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (64, _STEP)
+        picked = jnp.where(comb[None, :] == iota_c, tmp, 0.0)
+        out_ref[0, 0, 0, pl.ds(s * _STEP, _STEP)] = jnp.sum(picked, axis=0)
         return carry
 
     jax.lax.fori_loop(0, _INNER, body, 0)
@@ -171,8 +181,8 @@ def _bucket_grad(errors_t, fg_t, g_fg, g_bg):
     p_pad = -(-p_real // CHUNK) * CHUNK
     errors_t = _pad_rp(errors_t.astype(jnp.float32), p_pad, p_real)
     fg_t = _pad_rp(fg_t.astype(jnp.float32), p_pad, p_real)
-    tbl = jnp.concatenate([g_fg.reshape(r, _HI, _LO),
-                           g_bg.reshape(r, _HI, _LO)], axis=-1)  # (R, 64, 64)
+    tbl = jnp.concatenate([g_bg.reshape(r, _HI, _LO),
+                           g_fg.reshape(r, _HI, _LO)], axis=-1)  # (R, hi, comb)
     out = pl.pallas_call(
         _grad_kernel,
         grid=(r, p_pad // CHUNK),

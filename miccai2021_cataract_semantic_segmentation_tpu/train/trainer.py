@@ -264,6 +264,7 @@ class Trainer:
                 self.adaptive_sampler = AdaptiveBatchSampler(
                     self.train_df, self.task, bs,
                     self.config["data"].get("adaptive_sel_size", 10),
+                    dist_type=self.config["data"].get("adaptive_dist_type", "1-**2"),
                     iou_update=self.config["data"].get("adaptive_iou_update", 1),
                     seed=self.seed + 2)
             batches = self.adaptive_sampler.epoch_batches()
