@@ -140,6 +140,24 @@ def lovasz_errors(probs: Array, labels: Array, valid: Array):
     return errors.T, fg.T, present
 
 
+def lovasz_errors_from_logits(logits_flat: Array, labels: Array, valid: Array):
+    """(errors_t, fg_t, present) built DIRECTLY in the transposed (C, P)
+    layout: one transpose of the logits, softmax along the class (sublane)
+    axis, fg/errors constructed transposed. Avoids the 2 extra (P, C)->(C, P)
+    materialisations of `lovasz_errors(softmax(logits), ...)` — on TPU those
+    lower to 17-step while loops of dynamic slices and cost more than the
+    whole Lovász kernel."""
+    num_classes = logits_flat.shape[-1]
+    lt = logits_flat.T.astype(jnp.float32)                    # (C, P)
+    probs_t = jax.nn.softmax(lt, axis=0)
+    v = valid[None, :].astype(jnp.float32)
+    fg_t = (labels[None, :] ==
+            jnp.arange(num_classes)[:, None]).astype(jnp.float32) * v
+    errors_t = jnp.abs(fg_t - probs_t) * v
+    present = (jnp.sum(fg_t, axis=1) > 0).astype(jnp.float32)
+    return errors_t, fg_t, present
+
+
 def _per_class_fn(impl: str):
     if impl == "bucket":
         from miccai2021_cataract_semantic_segmentation_tpu.losses.bucket_lovasz import (
@@ -148,15 +166,16 @@ def _per_class_fn(impl: str):
     return _sorted_lovasz_per_class
 
 
-def _lovasz_flat(probs: Array, labels: Array, valid: Array,
+def _lovasz_flat(logits_flat: Array, labels: Array, valid: Array,
                  class_mask: Array, impl: str = "sort") -> Array:
-    """Lovász-Softmax on flattened (P, C) probs / (P,) labels.
+    """Lovász-Softmax on flattened (P, C) logits / (P,) labels.
 
     `valid` (P,) masks pixels out entirely; `class_mask` (C,) masks which
     class channels participate in the average ('all' -> ones; a subset list
     -> indicator; the 'present' filter is applied on top dynamically).
     """
-    errors_t, fg_t, present = lovasz_errors(probs, labels, valid)
+    errors_t, fg_t, present = lovasz_errors_from_logits(logits_flat, labels,
+                                                        valid)
     per_class = _per_class_fn(impl)(errors_t, fg_t)  # (C,)
     m = class_mask.astype(jnp.float32) * present
     return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -177,31 +196,30 @@ def lovasz_softmax(logits: Array, labels: Array,
     histogram formulation, O(1/2048) approximation — see bucket_lovasz.py).
     """
     num_classes = logits.shape[-1]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if classes_to_consider in (None, "present", "all"):
         class_mask = jnp.ones(num_classes)
     else:
         class_mask = jnp.zeros(num_classes).at[jnp.asarray(classes_to_consider)].set(1.0)
     force_all = classes_to_consider == "all"
 
-    def flat(p, l):
+    def flat(lg, l):
         v = (l != classes_to_ignore) if classes_to_ignore is not None \
             else jnp.ones_like(l, jnp.bool_)
         if force_all:
             # 'all': no presence filter — emulate by passing full mask and
             # overriding presence with validity of the class list only
-            return _lovasz_flat_all(p.reshape(-1, num_classes), l.reshape(-1),
+            return _lovasz_flat_all(lg.reshape(-1, num_classes), l.reshape(-1),
                                     v.reshape(-1), class_mask, impl)
-        return _lovasz_flat(p.reshape(-1, num_classes), l.reshape(-1),
+        return _lovasz_flat(lg.reshape(-1, num_classes), l.reshape(-1),
                             v.reshape(-1), class_mask, impl)
 
     if per_image:
-        return jnp.mean(jax.vmap(flat)(probs, labels))
-    return flat(probs, labels)
+        return jnp.mean(jax.vmap(flat)(logits, labels))
+    return flat(logits, labels)
 
 
-def _lovasz_flat_all(probs, labels, valid, class_mask, impl: str = "sort"):
-    errors_t, fg_t, _ = lovasz_errors(probs, labels, valid)
+def _lovasz_flat_all(logits_flat, labels, valid, class_mask, impl: str = "sort"):
+    errors_t, fg_t, _ = lovasz_errors_from_logits(logits_flat, labels, valid)
     per_class = _per_class_fn(impl)(errors_t, fg_t)
     m = class_mask.astype(jnp.float32)
     return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -220,10 +238,10 @@ def fused_two_scale_lovasz(interm_logits: Array, final_logits: Array,
     l_flat = labels.reshape(-1)
     valid = (l_flat != classes_to_ignore) if classes_to_ignore is not None \
         else jnp.ones_like(l_flat, jnp.bool_)
-    p_i = jax.nn.softmax(interm_logits.astype(jnp.float32), -1).reshape(-1, num_classes)
-    p_f = jax.nn.softmax(final_logits.astype(jnp.float32), -1).reshape(-1, num_classes)
-    e_i, f_i, pr_i = lovasz_errors(p_i, l_flat, valid)
-    e_f, f_f, pr_f = lovasz_errors(p_f, l_flat, valid)
+    e_i, f_i, pr_i = lovasz_errors_from_logits(
+        interm_logits.reshape(-1, num_classes), l_flat, valid)
+    e_f, f_f, pr_f = lovasz_errors_from_logits(
+        final_logits.reshape(-1, num_classes), l_flat, valid)
     per_class = _per_class_fn(impl)(jnp.concatenate([e_i, e_f], axis=0),
                                     jnp.concatenate([f_i, f_f], axis=0))
     loss_i = jnp.sum(per_class[:num_classes] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
