@@ -126,6 +126,12 @@ class Trainer:
         if config.get("graph", {}).get("ss_pretrained"):
             self._load_ss_pretrained(config["graph"]["ss_pretrained"])
 
+        # published PyTorch checkpoint -> flax (config {"torch_checkpoint":
+        # "<run>/chkpts/chkpt_best.pt"}); the inference-parity path for the
+        # reference's released weights (SURVEY.md §7.6)
+        if config.get("torch_checkpoint"):
+            self._load_torch_checkpoint(config["torch_checkpoint"])
+
         # parallelism ------------------------------------------------------
         # Data-parallel mesh over the largest device count that divides the
         # global batch (a 4-image batch on an 8-chip slice uses 4 chips).
@@ -197,6 +203,19 @@ class Trainer:
         self.adaptive_sampler = None
         self.log_every_n_epochs = int(config.get("log_every_n_epochs", 100))
         self.log_every_n_steps = int(config.get("log_every_n_steps", 50))
+
+    def _load_torch_checkpoint(self, path: str):
+        """Port a reference .pt checkpoint into the current model's trees."""
+        from miccai2021_cataract_semantic_segmentation_tpu.train.port_torch import (
+            load_torch_checkpoint, port_state_dict)
+        name = self.config.get("graph", {}).get("model", "OCRNet")
+        sd = load_torch_checkpoint(path)
+        params, stats = port_state_dict(name, sd, self.state.params,
+                                        self.state.batch_stats)
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            batch_stats=jax.tree.map(jnp.asarray, stats))
+        print(f"[{self.run_id}] ported torch checkpoint {path} ({name})")
 
     def _load_ss_pretrained(self, kind: str):
         """Initialise the backbone from a MoCo-v2 self-supervised torch

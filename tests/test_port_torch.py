@@ -121,3 +121,49 @@ def test_strip_moco_prefix():
     out = strip_moco_prefix(sd)
     assert "conv1.weight" in out
     assert not any(k.startswith("fc.") for k in out)
+
+
+def test_trainer_torch_checkpoint_hook(tmp_path):
+    """config {"torch_checkpoint": path} ports a .pt into the Trainer state."""
+    import pandas as pd
+    import torch
+    from miccai2021_cataract_semantic_segmentation_tpu.data import ArrayDataset
+    from miccai2021_cataract_semantic_segmentation_tpu.train import Trainer
+
+    sd = {}
+    _fill_resnet18_sd(sd, "backbone.")
+    # minimal OCR head keys for resnet18 (task 1)
+    def conv(key, o, i, k, bias=False):
+        sd[key + ".weight"] = np.random.default_rng(len(sd)).normal(
+            size=(o, i, k, k)).astype(np.float32)
+        if bias:
+            sd[key + ".bias"] = np.random.default_rng(len(sd)).normal(
+                size=(o,)).astype(np.float32)
+    conv("conv_high_map.0", 512, 512, 3)
+    conv("interm_prediction_head.0", 512, 256, 3)
+    conv("interm_prediction_head.4", 8, 512, 1, bias=True)
+    conv("conv_out", 8, 512, 1, bias=True)
+    pt = tmp_path / "chkpt_best.pt"
+    torch.save({"model_state_dict": {k: torch.from_numpy(v)
+                                     for k, v in sd.items()}}, pt)
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8),
+                      rng.integers(0, 8, (2, 32, 32), dtype=np.uint8))
+    df = pd.DataFrame({"vid_num": np.ones(2, int)})
+    config = {
+        "name": "port", "mode": "inference",
+        "graph": {"model": "OCRNet", "backbone": "resnet18"},
+        "data": {"experiment": 1, "batch_size": 1, "split": 0,
+                 "transforms": []},
+        "loss": {}, "train": {},
+        "torch_checkpoint": str(pt),
+        "log_path": str(tmp_path), "precision": "f32", "seed": 0,
+    }
+    t = Trainer(config, datasets=(ds, ds, df, df))
+    # a ported conv kernel matches the torch tensor (OIHW->HWIO)
+    got = np.asarray(t.state.params["backbone"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got, _conv_to_hwio(sd["conv1.weight"])
+                               if "conv1.weight" in sd else
+                               _conv_to_hwio(sd["backbone.conv1.weight"]),
+                               rtol=1e-6)
