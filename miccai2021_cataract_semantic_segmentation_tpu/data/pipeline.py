@@ -29,12 +29,17 @@ def pad_or_trim_batches(batches: np.ndarray, steps: int | None) -> np.ndarray:
     return np.concatenate([batches] * reps)[:steps]
 
 
-def assemble_batch(dataset, indices, pipeline=None, rng=None):
+def assemble_batch(dataset, indices, pipeline=None, rng=None, pool=None):
     """Stack dataset items into (images u8 NHWC, labels u8 NHW, idx i32 N).
 
     When the dataset exposes `load_batch` (SegDataset's C++ thread-pool
     decode+remap) and no host-side geometric transforms are active, the
-    whole batch decodes in parallel in native code."""
+    whole batch decodes in parallel in native code. Otherwise, a
+    ThreadPoolExecutor `pool` parallelises the per-sample Python path —
+    cv2 decode/warp release the GIL, so threads scale here. Per-sample RNG
+    streams are derived from `rng` up front so results are deterministic
+    regardless of thread scheduling (the jax-key analogue of the
+    reference's worker_init_fn reseeding, utils/utils.py:625-626)."""
     host_tf = pipeline is not None and pipeline.host_train
     if not host_tf and hasattr(dataset, "load_batch"):
         native = dataset.load_batch(indices)
@@ -42,13 +47,24 @@ def assemble_batch(dataset, indices, pipeline=None, rng=None):
             imgs, lbls = native
             return (imgs, lbls.astype(np.int32),
                     np.asarray(indices, dtype=np.int32))
-    imgs, lbls = [], []
-    for i in indices:
-        img, lbl, _meta = dataset[int(i)]
+
+    if host_tf:
+        seeds = rng.integers(0, 2**63 - 1, size=len(indices)) if rng is not None \
+            else np.arange(len(indices))
+
+    def load_one(k: int):
+        img, lbl, _meta = dataset[int(indices[k])]
         if host_tf:
-            img, lbl = pipeline.apply_host(img, lbl, rng)
-        imgs.append(img)
-        lbls.append(lbl)
+            img, lbl = pipeline.apply_host(img, lbl,
+                                           np.random.default_rng(seeds[k]))
+        return img, lbl
+
+    if pool is not None:
+        items = list(pool.map(load_one, range(len(indices))))
+    else:
+        items = [load_one(k) for k in range(len(indices))]
+    imgs = [it[0] for it in items]
+    lbls = [it[1] for it in items]
     return (np.stack(imgs), np.stack(lbls).astype(np.int32),
             np.asarray(indices, dtype=np.int32))
 
@@ -91,13 +107,25 @@ class Prefetcher:
 
 
 def epoch_iterator(dataset, batches: np.ndarray, pipeline=None, seed: int = 0,
-                   sharding=None, prefetch: int = 2):
-    """Yield device-resident (images, labels, indices) batches for one epoch."""
+                   sharding=None, prefetch: int = 2, num_workers: int = 0):
+    """Yield device-resident (images, labels, indices) batches for one epoch.
+
+    `num_workers` > 0 decodes/transforms the samples of each batch on a
+    thread pool (the reference's DataLoader num_workers analogue,
+    BaseManager.py:298-305)."""
     rng = np.random.default_rng(seed)
+    pool = None
+    if num_workers and num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=int(num_workers))
 
     def gen():
-        for idx in batches:
-            yield assemble_batch(dataset, idx, pipeline, rng)
+        try:
+            for idx in batches:
+                yield assemble_batch(dataset, idx, pipeline, rng, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     if prefetch > 0:
         yield from Prefetcher(gen(), depth=prefetch, sharding=sharding)

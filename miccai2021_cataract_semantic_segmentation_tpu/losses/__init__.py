@@ -168,8 +168,14 @@ def build_loss(loss_config: dict, task: int):
                 if lname == "TwoScaleLoss":
                     v = terms[lname](outputs["interm_logits"], outputs["logits"], labels)
                 elif lname == "LovaszSoftmax" and dc_off_at is not None \
-                        and epoch is not None and epoch < dc_off_at:
-                    v = jnp.float32(0.0)  # phase switching (LossWrapper.py:45-50)
+                        and epoch is not None:
+                    # Phase switching (LossWrapper.py:45-50). `epoch` is a
+                    # traced value inside the jitted train step, so the gate
+                    # must be jnp.where, not Python `if` (which raises
+                    # TracerBoolConversionError under jit).
+                    v = terms[lname](outputs["logits"], labels)
+                    v = jnp.where(jnp.asarray(epoch) < dc_off_at,
+                                  jnp.float32(0.0), v)
                 else:
                     v = terms[lname](outputs["logits"], labels)
                 v = v * weight

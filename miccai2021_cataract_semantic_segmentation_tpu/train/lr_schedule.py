@@ -72,25 +72,40 @@ def build_multiplier_table(train_cfg: dict, total_steps: int) -> np.ndarray:
     return table.astype(np.float32)
 
 
-def make_schedule(train_cfg: dict, steps_per_epoch: int):
+def make_schedule(train_cfg: dict, steps_per_epoch):
     """optax schedule fn. Epochwise schedules (default) hold the multiplier
     constant within an epoch; `lr_batchwise: true` advances it per step,
     converting epoch-denominated restarts to batches (BaseManager.py:442-455).
+
+    `steps_per_epoch` may be an int or a per-epoch sequence of step counts —
+    variable-length epochs arise from repeat-factor sampling, whose epoch
+    length is ~sum r(I)/bs rather than len(train)/bs
+    (repeat_factor_sampling.py:102-131).
     """
     import jax.numpy as jnp
 
     base_lr = float(train_cfg.get("learning_rate", 1e-4))
     epochs = int(train_cfg.get("epochs", 50))
+    if isinstance(steps_per_epoch, (int, np.integer)):
+        lengths = np.full(epochs, int(steps_per_epoch), np.int64)
+    else:
+        lengths = np.asarray(list(steps_per_epoch)[:epochs], np.int64)
+        if len(lengths) < epochs:
+            lengths = np.concatenate([
+                lengths, np.full(epochs - len(lengths),
+                                 lengths[-1] if len(lengths) else 1, np.int64)])
+    boundaries = np.concatenate([[0], np.cumsum(lengths)])
     batchwise = bool(train_cfg.get("lr_batchwise", False))
     cfg = dict(train_cfg)
     if batchwise:
-        cfg["lr_restarts"] = [int(r) * steps_per_epoch
+        cfg["lr_restarts"] = [int(boundaries[min(int(r), epochs)])
                               for r in (train_cfg.get("lr_restarts") or [])]
-        total = epochs * steps_per_epoch
+        total = int(boundaries[-1])
         table = build_multiplier_table(cfg, total)
     else:
         table = build_multiplier_table(cfg, epochs)
-        table = np.repeat(table, steps_per_epoch)[: epochs * steps_per_epoch + 1]
+        table = np.repeat(table[:epochs], lengths)
+        table = np.append(table, table[-1])
     jtable = jnp.asarray(table * base_lr)
 
     def schedule(step):

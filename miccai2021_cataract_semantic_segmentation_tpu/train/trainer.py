@@ -101,6 +101,13 @@ class Trainer:
 
         self._samplers: dict = {}
         self.steps_per_epoch = max(1, len(self.train_set) // self.batch_size)
+        # Expected steps per epoch differs by loader: repeat-factor epochs
+        # run ~sum r(I)/bs batches (repeat_factor_sampling.py:102-131),
+        # oversampling epochs (n+extra)/bs (BaseManager.py:326-349); the LR
+        # schedule and the epoch loop both honour the mode-natural length
+        # rather than trimming to len(train)/bs.
+        self.epoch_steps = [self._expected_steps(self.train_schedule[e])
+                            for e in range(epochs)]
 
         # model / loss / optimiser ----------------------------------------
         dtype = jnp.bfloat16 if config.get("precision", "bf16") == "bf16" \
@@ -114,7 +121,7 @@ class Trainer:
         if not loss_cfg.get("name"):
             loss_cfg["name"] = "CrossEntropyLoss"
         self.loss_fn = build_loss(loss_cfg, self.task)
-        self.schedule = make_schedule(config["train"], self.steps_per_epoch)
+        self.schedule = make_schedule(config["train"], self.epoch_steps)
 
         sample = self._sample_batch_shape()
         self.state = create_train_state(self.model, self.rng, sample,
@@ -248,25 +255,41 @@ class Trainer:
             h += 4
         return jnp.zeros((self.batch_size, h, w, 3), jnp.float32)
 
+    def _get_rf_sampler(self) -> RepeatFactorSampler:
+        s = self._samplers.get("repeat_factor")
+        if s is None:
+            s = self._samplers["repeat_factor"] = RepeatFactorSampler(
+                self.train_df, self.config["data"]["repeat_factor_freq_thresh"],
+                self.task, blacklist=self.config["data"].get("blacklist", True),
+                seed=self.seed + 1)
+        return s
+
+    def _get_oversampling_extra(self) -> np.ndarray:
+        extra = self._samplers.get("oversampling")
+        if extra is None:
+            extra = self._samplers["oversampling"] = oversample_indices(
+                self.train_df, self.task,
+                self.config["data"].get("oversampling_preset", "default"),
+                self.config["data"].get("oversampling_frac", 0.2))
+        return extra
+
+    def _expected_steps(self, mode: str) -> int:
+        """Expected batches for one epoch of the given loader mode."""
+        n, bs = len(self.train_set), self.batch_size
+        if mode == "repeat_factor":
+            return max(1, int(self._get_rf_sampler().repeat_factors.sum()) // bs)
+        if mode == "oversampling":
+            return max(1, (n + len(self._get_oversampling_extra())) // bs)
+        return max(1, n // bs)
+
     def _epoch_batches(self, epoch: int, np_rng) -> np.ndarray:
         mode = self.train_schedule.get(epoch, "default")
         n = len(self.train_set)
         bs = self.batch_size
         if mode == "repeat_factor":
-            s = self._samplers.get("repeat_factor")
-            if s is None:
-                s = self._samplers["repeat_factor"] = RepeatFactorSampler(
-                    self.train_df, self.config["data"]["repeat_factor_freq_thresh"],
-                    self.task, blacklist=self.config["data"].get("blacklist", True),
-                    seed=self.seed + 1)
-            batches = s.epoch_batches(bs)
+            batches = self._get_rf_sampler().epoch_batches(bs)
         elif mode == "oversampling":
-            extra = self._samplers.get("oversampling")
-            if extra is None:
-                extra = self._samplers["oversampling"] = oversample_indices(
-                    self.train_df, self.task,
-                    self.config["data"].get("oversampling_preset", "default"),
-                    self.config["data"].get("oversampling_frac", 0.2))
+            extra = self._get_oversampling_extra()
             idx = np.concatenate([np.arange(n), extra])
             idx = np_rng.permutation(idx)
             batches = idx[: (len(idx) // bs) * bs].reshape(-1, bs)
@@ -290,8 +313,12 @@ class Trainer:
         else:
             idx = np_rng.permutation(n)
             batches = idx[: (n // bs) * bs].reshape(-1, bs)
-        # static steps-per-epoch for the jitted loop
-        return pad_or_trim_batches(batches, self.steps_per_epoch)
+        # Epoch lengths are mode-natural (repeat-factor epochs run their full
+        # stochastic ~sum r(I)/bs batches, matching the reference's
+        # drop_last=True DataLoader). Only guard against an empty epoch —
+        # the batch *shape* stays static so the jitted step never recompiles.
+        return pad_or_trim_batches(batches, None) if len(batches) else \
+            pad_or_trim_batches(batches, 1)
 
     # --------------------------------------------------------------- train
     def train(self):
@@ -315,6 +342,14 @@ class Trainer:
             running_cm = None
             running_loss = jnp.zeros(())
             adaptive = self.train_schedule.get(epoch) == "adaptive_batching"
+            # IoU feedback read-back cadence: the reference syncs the device
+            # every step (to_numpy(iou), OCRNet_Manager.py:114-117); we
+            # accumulate a device-side window confusion matrix and read it
+            # back every N steps. Batches are pre-generated per epoch, so
+            # within-epoch EMA granularity does not change the sampling.
+            adaptive_sync = int(self.config.get("adaptive_sync_every", 8))
+            adaptive_cm = None
+            step_in_epoch = 0
             t_epoch = time.perf_counter()
             import contextlib
             from miccai2021_cataract_semantic_segmentation_tpu.train.loggers import profile_steps
@@ -324,6 +359,7 @@ class Trainer:
             for images, labels, idx in epoch_iterator(
                     self.train_set, batches, self.pipeline,
                     seed=self.seed + epoch, prefetch=2,
+                    num_workers=int(self.config["data"].get("num_workers", 0)),
                     sharding=None if self.mesh is None else
                     jax.sharding.NamedSharding(self.mesh,
                                                jax.sharding.PartitionSpec("data"))):
@@ -334,10 +370,16 @@ class Trainer:
                 running_loss = running_loss + m["loss"]
                 timer.tick()
                 if adaptive and self.adaptive_sampler is not None:
-                    iou = mean_iou_breakdown(np.asarray(m["confusion_matrix"]),
-                                             self.task)["per_class"]
-                    self.adaptive_sampler.update_iou(
-                        np.asarray(iou)[: len(self.adaptive_sampler.iou_values)])
+                    adaptive_cm = m["confusion_matrix"] if adaptive_cm is None \
+                        else adaptive_cm + m["confusion_matrix"]
+                    step_in_epoch += 1
+                    if step_in_epoch % adaptive_sync == 0 or \
+                            step_in_epoch == len(batches):
+                        iou = mean_iou_breakdown(np.asarray(adaptive_cm),
+                                                 self.task)["per_class"]
+                        self.adaptive_sampler.update_iou(
+                            np.asarray(iou)[: len(self.adaptive_sampler.iou_values)])
+                        adaptive_cm = None
                 if self.global_step % self.log_every_n_steps == 0:
                     self.train_writer.scalars(
                         {k: v for k, v in m.items() if k != "confusion_matrix"},
@@ -353,9 +395,9 @@ class Trainer:
             bd = mean_iou_breakdown(cm, self.task)
             pa, pac = pixel_accuracy(cm)
             epoch_s = time.perf_counter() - t_epoch
-            fps = self.steps_per_epoch * self.batch_size / epoch_s
+            fps = len(batches) * self.batch_size / epoch_s
             print(f"\r[{self.run_id}] epoch {epoch:03d}: "
-                  f"loss {float(running_loss) / self.steps_per_epoch:.4f} "
+                  f"loss {float(running_loss) / len(batches):.4f} "
                   f"miou {float(bd['miou']):.4f} pa {float(pa):.4f} "
                   f"{timer.mean_ms:.0f} ms/step {fps:.1f} fps")
             self.train_writer.scalar("metrics/epoch_miou", bd["miou"], epoch)
@@ -461,11 +503,21 @@ class Trainer:
         n = len(self.valid_set)
         bs = self.valid_batch_size
         batches = np.arange((n // bs) * bs).reshape(-1, bs)
+        # sample-prediction triptychs at linspace record positions
+        # (BaseManager.py:670-678)
+        max_imgs = int(self.config.get("max_valid_imgs", 10))
+        log_at = set(np.round(np.linspace(0, len(batches) - 1,
+                                          max_imgs)).astype(int).tolist())
         t0 = time.perf_counter()
-        for images, labels, idx in epoch_iterator(self.valid_set, batches,
-                                                  None, seed=0, prefetch=2):
-            _, _, cm = step(self.state, images, labels)
+        for rec_num, (images, labels, idx) in enumerate(epoch_iterator(
+                self.valid_set, batches, None, seed=0, prefetch=2)):
+            logits, lbl, cm = step(self.state, images, labels)
             cm_total = cm if cm_total is None else cm_total + cm
+            if rec_num in log_at:
+                self._log_valid_image(np.asarray(images[0]),
+                                      np.asarray(lbl[0]),
+                                      np.asarray(jnp.argmax(logits[0], -1)),
+                                      self.global_step, rec_num)
         dt = time.perf_counter() - t0
         cm = np.asarray(cm_total)
         bd = mean_iou_breakdown(cm, self.task)
@@ -483,10 +535,10 @@ class Trainer:
         return results
 
     def _make_tta_step(self):
-        """ttach-equivalent: HFlip x scales {0.75,1,1.25} mean merge
-        (BaseManager.py:652-660)."""
+        """ttach-equivalent: Compose(HFlip, Scale([0.75,1,1.5,1.75,2])) =
+        10 augmentations, mean merge (BaseManager.py:652-660)."""
         spec = self.pipeline.device if self.pipeline.valid_pad else None
-        scales = self.config.get("tta_scales", (0.75, 1.0, 1.25))
+        scales = self.config.get("tta_scales", (0.75, 1.0, 1.5, 1.75, 2.0))
 
         def step(state, images_u8, labels_u8):
             from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
@@ -500,8 +552,9 @@ class Trainer:
                 x = (x - IMAGENET_MEAN) / IMAGENET_STD
             h, w = x.shape[1:3]
             probs = jnp.zeros(x.shape[:3] + (taxonomy.TASK_NUM_CLASSES[self.task],))
+            n_aug = 2 * len(scales)
             for s in scales:
-                hs, ws = int(round(h * s / 32) * 32), int(round(w * s / 32) * 32)
+                hs, ws = int(round(h * s)), int(round(w * s))
                 xs = resize_bilinear(x, (hs, ws), align_corners=False)
                 for flip in (False, True):
                     xi = xs[:, :, ::-1] if flip else xs
@@ -513,6 +566,7 @@ class Trainer:
                         lg = lg[:, :, ::-1]
                     lg = resize_bilinear(lg, (h, w), align_corners=False)
                     probs = probs + jax.nn.softmax(lg, axis=-1)
+            probs = probs / n_aug  # ttach merge_mode='mean'
             from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import confusion_matrix
             cm = confusion_matrix(probs, lbl)
             return probs, lbl, cm

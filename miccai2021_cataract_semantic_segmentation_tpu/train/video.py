@@ -33,13 +33,23 @@ def discover_videos(data_path: str, video_ids: list[str]) -> list[pathlib.Path]:
 
 
 def demo_infer(trainer, video_paths: list[str] | None = None,
-               side_by_side: bool = True, frame_freq: int = 1,
+               side_by_side: bool | None = None, frame_freq: int | None = None,
                batch_size: int = 8, fps: int = 30):
     """Run segmentation over videos, writing colour-mapped .avi outputs.
 
-    `side_by_side=True` concatenates input|prediction horizontally
-    (BaseManager.py:165-169 'miccai_demo' switch inverted)."""
+    Mode semantics follow the reference (BaseManager.py:148-188, 690-741):
+    `demo_video_inference` writes input|prediction side-by-side unless the
+    config has the 'miccai_demo' key (prediction-only); `video_inference`
+    writes prediction-only videos. `frame_freq` (config 'demo_frame_freq')
+    strides frame ids *within each video* (BaseManager.py:175-176), and
+    every selected frame is processed — the tail partial batch is padded,
+    not dropped."""
     cfg = trainer.config
+    if side_by_side is None:
+        side_by_side = (cfg.get("mode", "demo_video_inference")
+                        == "demo_video_inference") and "miccai_demo" not in cfg
+    if frame_freq is None:
+        frame_freq = int(cfg.get("demo_frame_freq", 1))
     if video_paths is None:
         video_paths = discover_videos(cfg["data_path"], cfg.get("video_ids", []))
     assert video_paths, "no videos found/given for video inference"
@@ -47,7 +57,10 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
     height = int(cfg.get("video_height", 540))
     width = int(cfg.get("video_width", 960))
     ds = VideoDataset(video_paths, height, width)
-    indices = np.arange(0, len(ds), frame_freq)
+    # per-video stride (frame_ids[0::freq] per capture, BaseManager.py:175-176)
+    indices = np.concatenate([
+        np.arange(ds.offsets[v], ds.offsets[v + 1], frame_freq)
+        for v in range(len(video_paths))]).astype(np.int64)
     fourcc = cv2.VideoWriter_fourcc(*"XVID")
     writers = {}
     for vid, path in enumerate(video_paths):
@@ -57,25 +70,29 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
         writers[vid] = cv2.VideoWriter(str(out), fourcc, fps, shape)
 
     def batches():
-        for i in range(0, len(indices) - batch_size + 1, batch_size):
+        for i in range(0, len(indices), batch_size):
             chunk = indices[i:i + batch_size]
+            n_valid = len(chunk)
+            if n_valid < batch_size:  # pad tail to the static batch shape
+                chunk = np.concatenate(
+                    [chunk, np.full(batch_size - n_valid, chunk[-1])])
             frames, vids = [], []
             for j in chunk:
                 frame, _, vid = ds[int(j)]
                 frames.append(frame)
                 vids.append(vid)
-            yield np.stack(frames), np.asarray(vids)
+            yield np.stack(frames), np.asarray(vids), n_valid
 
     state = trainer.state
     eval_step = trainer.eval_step
     n_frames = 0
     dummy_lbl = np.zeros((batch_size, height, width), np.uint8)
-    for frames, vids in Prefetcher(batches(), depth=2):
+    for frames, vids, n_valid in Prefetcher(batches(), depth=2):
         logits, _, _ = eval_step(state, frames, dummy_lbl)
         preds = np.asarray(jnp.argmax(logits, -1))
         # the valid pipeline may reflect-pad the height; crop symmetrically
         off = (preds.shape[1] - height) // 2
-        for k in range(len(frames)):
+        for k in range(n_valid):
             pred = preds[k][off:off + height] if off else preds[k]
             colour = mask_to_colormap(pred, trainer.task)
             if side_by_side:

@@ -148,7 +148,9 @@ def test_trainer_loader_schedules(tmp_path):
     rng = np.random.default_rng(0)
     for e in range(4):
         b = t._epoch_batches(e, rng)
-        assert b.shape == (t.steps_per_epoch, t.batch_size)
+        assert b.shape[1] == t.batch_size
+        # epoch length is mode-natural (oversampling epochs are longer)
+        assert len(b) == t._expected_steps(t.train_schedule[e])
 
 
 def test_trainer_ensemble_inference(tmp_path):
@@ -214,7 +216,7 @@ def test_demo_video_inference(tmp_path):
                       rng.integers(0, 8, (4, h, w), dtype=np.uint8))
     df = pd.DataFrame({"vid_num": np.ones(4, int)})
     config = {
-        "name": "vid", "mode": "inference",
+        "name": "vid", "mode": "demo_video_inference",
         "graph": {"model": "FCN", "width": 0.125},
         "data": {"experiment": 1, "batch_size": 1, "split": 0,
                  "transforms": []},
