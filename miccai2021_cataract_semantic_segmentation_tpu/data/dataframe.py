@@ -39,20 +39,29 @@ def load_frame_table(path: str | None = None,
 
 def split_dataframes(df: pd.DataFrame, split: int, mode: str = "training",
                      use_relabeled: bool = False, blacklist: bool = True,
+                     random_split=None, seed: int = 0,
                      ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """(train, valid) frame tables for a video split.
 
     For 3-way splits, `mode == 'inference'` swaps the validation videos for
-    the test videos (BaseManager.py:246-249)."""
-    spl = taxonomy.DATA_SPLITS[int(split)]
-    if len(spl) == 2:
-        train_videos, valid_videos = spl
+    the test videos (BaseManager.py:246-249). `random_split=[f_train,
+    f_valid]` is the legacy frame-level random split (BaseManager.py:235-240).
+    """
+    if random_split is not None:
+        train = df.sample(frac=random_split[0], random_state=seed).copy()
+        valid = df.drop(train.index).copy()
+        rest = random_split[1] / (1 - random_split[0])
+        valid = valid.sample(frac=rest, random_state=seed)
     else:
-        train_videos, valid_videos, test_videos = spl
-        if mode == "inference":
-            valid_videos = test_videos
-    train = df.loc[df["vid_num"].isin(train_videos)].copy()
-    valid = df.loc[df["vid_num"].isin(valid_videos)].copy()
+        spl = taxonomy.DATA_SPLITS[int(split)]
+        if len(spl) == 2:
+            train_videos, valid_videos = spl
+        else:
+            train_videos, valid_videos, test_videos = spl
+            if mode == "inference":
+                valid_videos = test_videos
+        train = df.loc[df["vid_num"].isin(train_videos)].copy()
+        valid = df.loc[df["vid_num"].isin(valid_videos)].copy()
 
     if use_relabeled:
         for part in (train, valid):

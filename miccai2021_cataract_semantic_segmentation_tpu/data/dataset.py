@@ -61,7 +61,17 @@ class SegDataset:
 
     def _resolve(self, rel: str) -> pathlib.Path:
         rel = _normalise_rel_path(rel)
-        return (self.data_path / rel) if self.data_path else pathlib.Path(rel)
+        p = (self.data_path / rel) if self.data_path else pathlib.Path(rel)
+        # use_relabeled rewrites lbl_path to relabeled/<name>
+        # (BaseManager.py:257-267); the reference README asks users to copy
+        # the 40 corrected PNGs into the dataset dir — we also ship them in
+        # <repo>/relabelled/, so fall back there if the copy never happened.
+        if not p.is_file() and rel.parts and rel.parts[0] == "relabeled":
+            vendored = pathlib.Path(__file__).resolve().parents[2] / \
+                "relabelled" / rel.name
+            if vendored.is_file():
+                return vendored
+        return p
 
     def _load(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
         row = self.df.iloc[idx]

@@ -77,7 +77,8 @@ class Trainer:
             self.train_df, self.valid_df = split_dataframes(
                 df, dcfg.get("split", 1), mode=self.mode,
                 use_relabeled=dcfg.get("use_relabeled", False),
-                blacklist=dcfg.get("blacklist", True))
+                blacklist=dcfg.get("blacklist", True),
+                random_split=dcfg.get("random_split"), seed=self.seed)
             self.train_set = SegDataset(self.train_df, self.task,
                                         config.get("data_path"),
                                         preload=dcfg.get("preload", False))

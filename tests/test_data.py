@@ -200,3 +200,67 @@ def test_native_batch_pipeline(tmp_path):
         np.testing.assert_array_equal(imgs[i], img_ref)
         np.testing.assert_array_equal(lbls[i], lbl_ref.astype(np.int32))
     assert int(lbls.max()) <= taxonomy.num_label_values(2) - 1
+
+
+# ----------------------------------------------- vendored benchmark table
+
+def test_vendored_data_csv_loads():
+    """The curated CaDIS frame table ships with the repo (reference
+    data/data.csv): 4,670 frames, 179 blacklisted, 40 relabeled."""
+    from miccai2021_cataract_semantic_segmentation_tpu.data import (
+        load_frame_table)
+    df = load_frame_table()
+    assert len(df) == 4670
+    assert int((df["blacklisted"] == 1).sum()) == 179
+    assert int((df["relabeled"] == 1).sum()) == 40
+    for name in taxonomy.CANONICAL_NAMES:
+        assert name in df.columns
+
+    # paper split 2 regime: 19 train / 3 val / 3 test videos
+    train, valid = split_dataframes(df, 2, blacklist=False)
+    assert train["vid_num"].nunique() == 19
+    assert valid["vid_num"].nunique() == 3
+    _, test = split_dataframes(df, 2, mode="inference", blacklist=False)
+    assert test["vid_num"].nunique() == 3
+    assert set(test["vid_num"]).isdisjoint(set(valid["vid_num"]))
+
+    # blacklist regime drops exactly the ==1 flagged rows (the table also
+    # carries blacklisted==2 rows, which the reference keeps)
+    train_bl, valid_bl = split_dataframes(df, 2, blacklist=True)
+    dropped = (len(train) - len(train_bl)) + (len(valid) - len(valid_bl))
+    assert dropped == int((train["blacklisted"] == 1).sum()
+                          + (valid["blacklisted"] == 1).sum())
+
+
+def test_vendored_relabelled_pngs():
+    """All 40 corrected label PNGs referenced by use_relabeled resolve via
+    the vendored relabelled/ fallback and decode to canonical-id masks."""
+    import pathlib
+    from miccai2021_cataract_semantic_segmentation_tpu.data import (
+        SegDataset, load_frame_table)
+    df = load_frame_table()
+    train, valid = split_dataframes(df, 1, use_relabeled=True, blacklist=True)
+    rl = pd.concat([train, valid])
+    rl = rl[rl["lbl_path"].str.startswith("relabeled/")]
+    assert len(rl) > 0
+    ds = SegDataset(rl.reset_index(drop=True), 1, data_path="/nonexistent")
+    repo_pngs = sorted((pathlib.Path(__file__).parents[1] / "relabelled").glob("*.png"))
+    assert len(repo_pngs) == 40
+    for i in range(len(ds.df)):
+        p = ds._resolve(ds.df.iloc[i]["lbl_path"])
+        assert p.is_file(), p
+    # decode one corrected mask: values must be canonical ids (0..35)
+    import cv2
+    lbl = cv2.imread(str(repo_pngs[0]), cv2.IMREAD_GRAYSCALE)
+    assert lbl is not None and lbl.max() < 36
+
+
+def test_random_split_legacy():
+    from miccai2021_cataract_semantic_segmentation_tpu.data import (
+        load_frame_table)
+    df = load_frame_table()
+    train, valid = split_dataframes(df, 2, random_split=[0.6, 0.2],
+                                    blacklist=False, seed=1)
+    assert abs(len(train) - 0.6 * len(df)) < 5
+    assert abs(len(valid) - 0.2 * len(df)) < 5
+    assert set(train["file_name"]).isdisjoint(set(valid["file_name"]))
