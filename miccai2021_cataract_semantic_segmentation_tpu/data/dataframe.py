@@ -25,10 +25,11 @@ _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 
 def load_frame_table(path: str | None = None,
                      data_path: str | None = None) -> pd.DataFrame:
-    candidates = [path, os.environ.get("CADIS_DATA_CSV"),
-                  _REPO_ROOT / "data" / "data.csv"]
+    candidates = [path, os.environ.get("CADIS_DATA_CSV")]
     if data_path:
+        # a user-curated table in the dataset tree wins over the vendored one
         candidates.append(pathlib.Path(data_path) / "data.csv")
+    candidates.append(_REPO_ROOT / "data" / "data.csv")
     for c in candidates:
         if c and pathlib.Path(c).is_file():
             return pd.read_csv(c)

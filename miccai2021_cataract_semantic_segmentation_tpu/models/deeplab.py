@@ -3,8 +3,12 @@
 Graph parity with the reference models/DeepLabv3.py and models/DeepLabv3Plus.py:
 ASPP rates 6/12/18 x mult (mult=2 when out_stride<16), image-pool branch with
 align_corners=True upsample, 5-way concat -> 1x1 -> BN -> ReLU; v3+ adds the
-48-channel low-level (layer1) lateral and two 3x3 convs. ASPP/decoder BN
-momentum is torch 0.0003 -> flax 0.9997 (DeepLabv3.py:98).
+48-channel low-level (layer1) lateral and two 3x3 convs. Subtlety: the
+reference passes momentum=0.0003 *positionally* into BatchNorm2d
+(DeepLabv3.py:98,104 `norm(c_aspp, momentum)`), where torch's second
+positional parameter is eps — so the ASPP/decoder BNs actually run with
+eps=3e-4 and the default momentum 0.1 (flax 0.9). Verified by f64
+activation parity against the reference (tests/test_port_parity.py).
 Final logits are bilinearly upsampled (align_corners=True) to input size.
 """
 from __future__ import annotations
@@ -16,14 +20,13 @@ import jax.numpy as jnp
 
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
 from miccai2021_cataract_semantic_segmentation_tpu.models.layers import (
-    ConvBN, global_avg_pool, upsample_like,
-)
+    ConvBN, global_avg_pool, upsample_like, to_f32)
 from miccai2021_cataract_semantic_segmentation_tpu.models.projector import Projector
 from miccai2021_cataract_semantic_segmentation_tpu.models.resnet import ResNetBackbone
 
 Dtype = Any
 
-_ASPP_BN = 0.9997  # flax equivalent of torch momentum 0.0003
+_ASPP_BN_EPS = 3e-4  # reference quirk: eps, not momentum (see above)
 
 
 def _dilate_stages(out_stride: int):
@@ -42,18 +45,18 @@ class ASPP(nn.Module):
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1:3]
         branches = []
-        branches.append(ConvBN(self.c_aspp, 1, bn_momentum=_ASPP_BN,
+        branches.append(ConvBN(self.c_aspp, 1, bn_eps=_ASPP_BN_EPS,
                                dtype=self.dtype, name="aspp1")(x, train))
         for i, rate in enumerate((6, 12, 18)):
             branches.append(ConvBN(self.c_aspp, 3, dilation=rate * self.mult,
-                                   bn_momentum=_ASPP_BN, dtype=self.dtype,
+                                   bn_eps=_ASPP_BN_EPS, dtype=self.dtype,
                                    name=f"aspp{i + 2}")(x, train))
         pooled = global_avg_pool(x)
-        pooled = ConvBN(self.c_aspp, 1, bn_momentum=_ASPP_BN, dtype=self.dtype,
+        pooled = ConvBN(self.c_aspp, 1, bn_eps=_ASPP_BN_EPS, dtype=self.dtype,
                         name="aspp5")(pooled, train)
         branches.append(upsample_like(pooled, (h, w), align_corners=True))
         y = jnp.concatenate(branches, axis=-1)
-        return ConvBN(self.c_aspp, 1, bn_momentum=_ASPP_BN, dtype=self.dtype,
+        return ConvBN(self.c_aspp, 1, bn_eps=_ASPP_BN_EPS, dtype=self.dtype,
                       name="proj")(y, train)
 
 
@@ -75,7 +78,7 @@ class DeepLabv3(nn.Module):
         mult = 1 if self.out_stride >= 16 else 2
         y = ASPP(self.c_aspp, mult, dtype=self.dtype, name="aspp")(high, train)
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="conv_out")(y)
-        out = {"logits": upsample_like(logits, in_hw).astype(jnp.float32),
+        out = {"logits": to_f32(upsample_like(logits, in_hw)),
                "deep_features": high}
         if self.projector is not None:
             out["proj_features"] = Projector(**self.projector, dtype=self.dtype,
@@ -103,16 +106,16 @@ class DeepLabv3Plus(nn.Module):
         mult = 1 if self.out_stride >= 16 else 2
         y = ASPP(self.c_aspp, mult, dtype=self.dtype, name="aspp")(high, train)
         # decoder (DeepLabv3Plus.py:139-175)
-        lateral = ConvBN(self.c_low_reduced, 1, bn_momentum=_ASPP_BN,
+        lateral = ConvBN(self.c_low_reduced, 1, bn_eps=_ASPP_BN_EPS,
                          dtype=self.dtype, name="conv_low")(low, train)
         y = upsample_like(y, low.shape[1:3], align_corners=True)
         y = jnp.concatenate([lateral, y], axis=-1)
-        y = ConvBN(self.c_decoder, 3, bn_momentum=_ASPP_BN, dtype=self.dtype,
+        y = ConvBN(self.c_decoder, 3, bn_eps=_ASPP_BN_EPS, dtype=self.dtype,
                    name="conv_3x3_1")(y, train)
-        y = ConvBN(self.c_decoder, 3, bn_momentum=_ASPP_BN, dtype=self.dtype,
+        y = ConvBN(self.c_decoder, 3, bn_eps=_ASPP_BN_EPS, dtype=self.dtype,
                    name="conv_3x3_2")(y, train)
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="conv_out")(y)
-        out = {"logits": upsample_like(logits, in_hw).astype(jnp.float32),
+        out = {"logits": to_f32(upsample_like(logits, in_hw)),
                "deep_features": high}
         if self.projector is not None:
             out["proj_features"] = Projector(**self.projector, dtype=self.dtype,

@@ -10,8 +10,7 @@ import numpy as np
 
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
 from miccai2021_cataract_semantic_segmentation_tpu.models.layers import (
-    max_pool_torch, torch_pad, upsample_like,
-)
+    max_pool_torch, torch_pad, upsample_like, to_f32)
 
 Dtype = Any
 
@@ -64,7 +63,7 @@ class FCN(nn.Module):
         logits = deconv(fcn_8s, num_classes, 16, 8, "deconv8")
         if logits.shape[1:3] != x.shape[1:3]:
             logits = upsample_like(logits, x.shape[1:3], align_corners=False)
-        return {"logits": logits.astype(jnp.float32)}
+        return {"logits": to_f32(logits)}
 
 
 class UNet(nn.Module):
@@ -99,4 +98,4 @@ class UNet(nn.Module):
         y = double_conv(up(y, d2), 128, "up2")
         y = double_conv(up(y, d1), 64, "up1")
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="conv_last")(y)
-        return {"logits": logits.astype(jnp.float32)}
+        return {"logits": to_f32(logits)}

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
-from miccai2021_cataract_semantic_segmentation_tpu.models.layers import upsample_like
+from miccai2021_cataract_semantic_segmentation_tpu.models.layers import to_f32, upsample_like
 from miccai2021_cataract_semantic_segmentation_tpu.models.resnet import BasicBlock, Bottleneck
 
 Dtype = Any
@@ -139,4 +139,4 @@ class HRNetv2(nn.Module):
         y = _ConvBNReLU(sum(widths), 1, dtype=self.dtype, name="head")(y, train)
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="cls")(y)
         logits = upsample_like(logits, in_hw, align_corners=False)
-        return {"logits": logits.astype(jnp.float32)}
+        return {"logits": to_f32(logits)}

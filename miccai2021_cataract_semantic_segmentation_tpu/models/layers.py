@@ -29,6 +29,16 @@ def torch_pad(kernel_size: int, stride: int = 1, dilation: int = 1) -> int:
     return (kernel_size + (kernel_size - 1) * (dilation - 1) - stride + 1) // 2
 
 
+def acc_dtype(x) -> jnp.dtype:
+    """Accumulation dtype: >= f32 (bf16 upcasts; f64 parity runs stay f64)."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
+def to_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Model outputs leave in at-least-f32 (bf16 graphs emit f32 logits)."""
+    return x.astype(acc_dtype(x))
+
+
 class ConvBN(nn.Module):
     """Conv -> BatchNorm -> optional ReLU, torch-initialised.
 
@@ -44,6 +54,7 @@ class ConvBN(nn.Module):
     bn: bool = True
     relu: bool = True
     bn_momentum: float = 0.9  # flax convention
+    bn_eps: float = 1e-5
     groups: int = 1
     dtype: Dtype = jnp.float32
     conv_name: str | None = None
@@ -61,7 +72,7 @@ class ConvBN(nn.Module):
                     name=self.conv_name or "conv")(x)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=self.bn_momentum, epsilon=1e-5,
+                             momentum=self.bn_momentum, epsilon=self.bn_eps,
                              dtype=self.dtype, name=self.bn_name or "bn")(x)
         if self.relu:
             x = nn.relu(x)
@@ -82,22 +93,24 @@ def adaptive_avg_pool(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     n, h, w, c = x.shape
     oh, ow = out_hw
 
+    acc = acc_dtype(x)
+
     def pool_matrix(n_in, n_out):
-        m = np.zeros((n_out, n_in), dtype=np.float32)
+        m = np.zeros((n_out, n_in), dtype=np.float64)
         for i in range(n_out):
             lo = (i * n_in) // n_out
             hi = -(-((i + 1) * n_in) // n_out)  # ceil
             m[i, lo:hi] = 1.0 / (hi - lo)
-        return jnp.asarray(m)
+        return jnp.asarray(m, acc)
 
-    y = jnp.einsum("nhwc,Hh->nHwc", x.astype(jnp.float32), pool_matrix(h, oh))
+    y = jnp.einsum("nhwc,Hh->nHwc", x.astype(acc), pool_matrix(h, oh))
     y = jnp.einsum("nhwc,Ww->nhWc", y, pool_matrix(w, ow))
     return y.astype(x.dtype)
 
 
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     """AdaptiveAvgPool2d(1): N,1,1,C."""
-    return jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
+    return jnp.mean(x.astype(acc_dtype(x)), axis=(1, 2), keepdims=True).astype(x.dtype)
 
 
 def upsample_like(x: jnp.ndarray, ref_hw: tuple[int, int],

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
-from miccai2021_cataract_semantic_segmentation_tpu.models.layers import ConvBN, upsample_like
+from miccai2021_cataract_semantic_segmentation_tpu.models.layers import ConvBN, acc_dtype, to_f32, upsample_like
 from miccai2021_cataract_semantic_segmentation_tpu.models.projector import Projector
 from miccai2021_cataract_semantic_segmentation_tpu.models.resnet import ResNetBackbone
 
@@ -39,9 +39,10 @@ def spatial_gather(feats: jnp.ndarray, probs_logits: jnp.ndarray,
     """
     b, h, w, c = feats.shape
     k = probs_logits.shape[-1]
+    acc = acc_dtype(feats)
     probs = jax.nn.softmax(
-        scale * probs_logits.reshape(b, -1, k).astype(jnp.float32), axis=1)
-    f = feats.reshape(b, h * w, c).astype(jnp.float32)
+        scale * probs_logits.reshape(b, -1, k).astype(acc), axis=1)
+    f = feats.reshape(b, h * w, c).astype(acc)
     return jnp.einsum("bnk,bnc->bkc", probs, f).astype(feats.dtype)
 
 
@@ -77,10 +78,11 @@ class ObjectAttention(nn.Module):
         query = _QKVStack(self.key_channels, 2, self.dtype, name="f_pixel")(x, train)
         key = _QKVStack(self.key_channels, 2, self.dtype, name="f_object")(context, train)
         value = _QKVStack(self.key_channels, 1, self.dtype, name="f_down")(context, train)
-        q = query.reshape(b, h * w, self.key_channels).astype(jnp.float32)
-        sim = jnp.einsum("bnd,bkd->bnk", q, key.astype(jnp.float32))
+        acc = acc_dtype(x)
+        q = query.reshape(b, h * w, self.key_channels).astype(acc)
+        sim = jnp.einsum("bnd,bkd->bnk", q, key.astype(acc))
         sim = jax.nn.softmax(sim * self.key_channels ** -0.5, axis=-1)
-        ctx = jnp.einsum("bnk,bkd->bnd", sim, value.astype(jnp.float32))
+        ctx = jnp.einsum("bnk,bkd->bnd", sim, value.astype(acc))
         ctx = ctx.reshape(b, h, w, self.key_channels).astype(x.dtype)
         ctx = _QKVStack(c, 1, self.dtype, name="f_up")(ctx, train)
         return ctx
@@ -136,15 +138,18 @@ class OCRNet(nn.Module):
         # double-assignment bug (OCR.py:80-82) leaves s==1 and the model
         # crashes; we implement the intended stride.
         interm_stride = 2 if self.backbone in ("resnet18", "resnet34") else 1
-        interm = ConvBN(512, 3, stride=interm_stride, dtype=self.dtype,
-                        name="interm_conv")(low, train)
+        # use_bias=True: the reference leaves torch Conv2d's default bias on
+        # these head convs (OCR.py:73,84) — required for checkpoint parity
+        interm = ConvBN(512, 3, stride=interm_stride, use_bias=True,
+                        dtype=self.dtype, name="interm_conv")(low, train)
         if self.dropout > 0:
             interm = nn.Dropout(self.dropout, deterministic=not train)(interm)
         interm_logits = nn.Conv(num_classes, (1, 1), use_bias=True,
                                 dtype=self.dtype, name="interm_cls")(interm)
 
         # 512ch pixel features off layer4 (OCR.py:72-76)
-        pix = ConvBN(512, 3, dtype=self.dtype, name="conv_high_map")(high, train)
+        pix = ConvBN(512, 3, use_bias=True, dtype=self.dtype,
+                     name="conv_high_map")(high, train)
 
         context = spatial_gather(pix, interm_logits)  # (B,K,512)
         ocr = SpatialOCR(key_channels=256, out_channels=512, dropout=self.dropout,
@@ -153,8 +158,8 @@ class OCRNet(nn.Module):
                          name="conv_out")(ocr)
 
         out = {
-            "logits": upsample_like(logits, in_hw).astype(jnp.float32),
-            "interm_logits": upsample_like(interm_logits, in_hw).astype(jnp.float32),
+            "logits": to_f32(upsample_like(logits, in_hw)),
+            "interm_logits": to_f32(upsample_like(interm_logits, in_hw)),
             "deep_features": high,
         }
         if self.projector is not None:

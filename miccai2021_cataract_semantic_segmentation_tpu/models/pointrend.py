@@ -18,6 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from miccai2021_cataract_semantic_segmentation_tpu.models.layers import to_f32
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
 from miccai2021_cataract_semantic_segmentation_tpu.models.upernet import UPerNetDecoder
 from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import resize_bilinear
@@ -147,9 +148,9 @@ class PointRendDecoder(nn.Module):
             idx = yi * w + xi
             flat = seg.reshape(n, h * w, c)
             pred = jax.vmap(lambda f, i, v: f.at[i].set(v))(flat, idx, point_logits)
-            return {"logits": pred.reshape(n, h, w, c).astype(jnp.float32),
-                    "coarse_logits": seg.astype(jnp.float32),
-                    "point_logits": point_logits.astype(jnp.float32),
+            return {"logits": to_f32(pred.reshape(n, h, w, c)),
+                    "coarse_logits": to_f32(seg),
+                    "point_logits": to_f32(point_logits),
                     "point_coords": coords}
 
         # eval: iterative 2x subdivision refinement (PointRend.py:76-90)
@@ -163,4 +164,4 @@ class PointRendDecoder(nn.Module):
             flat = seg.reshape(n, h * w, c)
             flat = jax.vmap(lambda f, i, v: f.at[i].set(v))(flat, idx, point_logits)
             seg = flat.reshape(n, h, w, c)
-        return {"logits": seg.astype(jnp.float32)}
+        return {"logits": to_f32(seg)}

@@ -13,8 +13,7 @@ import jax.numpy as jnp
 
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
 from miccai2021_cataract_semantic_segmentation_tpu.models.layers import (
-    ConvBN, adaptive_avg_pool, upsample_like,
-)
+    ConvBN, adaptive_avg_pool, upsample_like, to_f32)
 
 Dtype = Any
 
@@ -71,4 +70,4 @@ class UPerNetDecoder(nn.Module):
             s = self.input_scales[-n_lvl]
             logits = upsample_like(logits, (out_hw[0] * s, out_hw[1] * s),
                                    align_corners=False)
-        return logits.astype(jnp.float32)
+        return to_f32(logits)

@@ -20,9 +20,9 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
-    """(n_out, n_in) float32 bilinear interpolation matrix."""
+    """(n_out, n_in) float64 bilinear interpolation matrix (cast at use)."""
     if n_in == n_out:
-        return np.eye(n_in, dtype=np.float32)
+        return np.eye(n_in, dtype=np.float64)
     out = np.arange(n_out, dtype=np.float64)
     if align_corners:
         pos = out * (n_in - 1) / max(n_out - 1, 1)
@@ -32,9 +32,9 @@ def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
     lo = np.clip(lo, 0, n_in - 1)
     hi = np.minimum(lo + 1, n_in - 1)
     w_hi = pos - lo
-    mat = np.zeros((n_out, n_in), dtype=np.float32)
-    mat[out.astype(np.int64), lo] += (1.0 - w_hi).astype(np.float32)
-    mat[out.astype(np.int64), hi] += w_hi.astype(np.float32)
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    mat[out.astype(np.int64), lo] += 1.0 - w_hi
+    mat[out.astype(np.int64), hi] += w_hi
     return mat
 
 
@@ -48,10 +48,12 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int],
     out_h, out_w = size
     if (h, w) == (out_h, out_w):
         return x[0] if squeeze else x
-    mh = jnp.asarray(_interp_matrix(h, out_h, align_corners))
-    mw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
     dtype = x.dtype
-    y = jnp.einsum("nhwc,Hh->nHwc", x.astype(jnp.float32), mh)
+    # accumulate in >= f32 (bf16 inputs upcast; f64 parity runs stay f64)
+    acc = jnp.promote_types(dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), acc)
+    mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), acc)
+    y = jnp.einsum("nhwc,Hh->nHwc", x.astype(acc), mh)
     y = jnp.einsum("nhwc,Ww->nhWc", y, mw)
     y = y.astype(dtype)
     return y[0] if squeeze else y

@@ -52,9 +52,22 @@ def _conv_to_hwio(w: np.ndarray) -> np.ndarray:
 
 
 def _set(tree: dict, path: tuple[str, ...], value: np.ndarray):
+    """Overwrite an existing leaf; a missing path is a porter-table bug and
+    must fail loudly (a silent setdefault would leave the real leaf at its
+    random init while injecting an orphan subtree the model never reads)."""
     node = tree
     for p in path[:-1]:
-        node = node.setdefault(p, {})
+        if p not in node:
+            raise KeyError(f"porter path {path} missing at '{p}' "
+                           f"(have: {sorted(node)[:12]})")
+        node = node[p]
+    if path[-1] not in node:
+        raise KeyError(f"porter leaf {path} not in target tree "
+                       f"(have: {sorted(node)})")
+    expect = np.shape(node[path[-1]])
+    if expect != np.shape(value):
+        raise ValueError(f"porter shape mismatch at {path}: "
+                         f"{np.shape(value)} -> {expect}")
     node[path[-1]] = value
 
 
@@ -226,7 +239,7 @@ def _port_aspp(sd, flax_prefix, p_up, s_up):
 
 def port_deeplabv3(sd, params, batch_stats):
     p_up, s_up = port_resnet_backbone(sd, "backbone.", ("backbone",))
-    _port_aspp(sd, (), p_up, s_up)
+    _port_aspp(sd, ("aspp",), p_up, s_up)
     if "conv_out.weight" in sd:
         p_up.append((("conv_out", "kernel"), _conv_to_hwio(sd["conv_out.weight"])))
         p_up.append((("conv_out", "bias"), sd["conv_out.bias"]))
@@ -235,7 +248,7 @@ def port_deeplabv3(sd, params, batch_stats):
 
 def port_deeplabv3plus(sd, params, batch_stats):
     p_up, s_up = port_resnet_backbone(sd, "backbone.", ("backbone",))
-    _port_aspp(sd, (), p_up, s_up)
+    _port_aspp(sd, ("aspp",), p_up, s_up)
     # decoder (DeepLabv3Plus.py:139-175): conv_low(+bn), conv_3x3_1/2(+bn), conv_out
     for conv_key, bn_key, fname in [("decoder.conv_low", "decoder.conv_low_bn", "conv_low"),
                                     ("decoder.conv_3x3_1", "decoder.conv_3x3_1_bn", "conv_3x3_1"),

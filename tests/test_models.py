@@ -59,7 +59,9 @@ def test_backbone_dilation_keeps_resolution():
 
 @pytest.mark.parametrize("graph,n_classes,expected_params", [
     ({"model": "DeepLabv3", "backbone": "resnet50", "out_stride": 16}, 17, 39_047_505),
-    ({"model": "OCRNet", "backbone": "resnet50", "out_stride": 8}, 17, 38_867_554),
+    # 38,868,578 == the reference torch model's exact count (incl. the
+    # conv_high_map/interm-head conv biases, OCR.py:73,84 default bias=True)
+    ({"model": "OCRNet", "backbone": "resnet50", "out_stride": 8}, 17, 38_868_578),
 ])
 def test_model_goldens(graph, n_classes, expected_params):
     m = build_model(graph, task=2)
