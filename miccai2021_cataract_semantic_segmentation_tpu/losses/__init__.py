@@ -73,7 +73,18 @@ def build_two_scale(cfg: dict, task: int):
         ign = interm_cfg.get("classes_to_ignore")
         impl = cfg.get("lovasz_impl", interm_cfg.get("lovasz_impl", "sort"))
 
-        def fused_fn(interm_logits, final_logits, labels):
+        def fused_fn(interm_logits, final_logits, labels,
+                     interm_s8=None, final_s8=None):
+            # Fastest path: stride-8 logits available and bucket impl ->
+            # the upsample+softmax+histogram pipeline runs fully fused in
+            # (C, P) row layout (losses/fused_lovasz.py), skipping the
+            # full-res NHWC logit materialisation entirely.
+            if impl == "bucket" and interm_s8 is not None and final_s8 is not None:
+                from miccai2021_cataract_semantic_segmentation_tpu.losses.fused_lovasz import (
+                    fused_two_scale_bucket_lovasz_s8)
+                return fused_two_scale_bucket_lovasz_s8(
+                    interm_s8, final_s8, labels, w_interm, w_final,
+                    classes_to_ignore=ign)
             h, w = labels.shape[-2:]
             if interm_logits.shape[1:3] != (h, w):
                 interm_logits = resize_bilinear(interm_logits, (h, w),
@@ -89,7 +100,8 @@ def build_two_scale(cfg: dict, task: int):
     interm_fn = _single_loss(interm_cfg["name"], interm_cfg, task)
     final_fn = _single_loss(final_cfg["name"], final_cfg, task)
 
-    def loss_fn(interm_logits, final_logits, labels):
+    def loss_fn(interm_logits, final_logits, labels,
+                interm_s8=None, final_s8=None):
         h, w = labels.shape[-2:]
         if interm_logits.shape[1:3] != (h, w):
             interm_logits = resize_bilinear(interm_logits, (h, w), align_corners=False)
@@ -166,7 +178,10 @@ def build_loss(loss_config: dict, task: int):
             vals = {}
             for lname, weight in weightings.items():
                 if lname == "TwoScaleLoss":
-                    v = terms[lname](outputs["interm_logits"], outputs["logits"], labels)
+                    v = terms[lname](outputs["interm_logits"], outputs["logits"],
+                                     labels,
+                                     interm_s8=outputs.get("interm_logits_s8"),
+                                     final_s8=outputs.get("logits_s8"))
                 elif lname == "LovaszSoftmax" and dc_off_at is not None \
                         and epoch is not None:
                     # Phase switching (LossWrapper.py:45-50). `epoch` is a
@@ -189,7 +204,9 @@ def build_loss(loss_config: dict, task: int):
         ts = build_two_scale(cfg, task)
 
         def two_scale_fn(outputs, labels, epoch=None):
-            v = ts(outputs["interm_logits"], outputs["logits"], labels)
+            v = ts(outputs["interm_logits"], outputs["logits"], labels,
+                   interm_s8=outputs.get("interm_logits_s8"),
+                   final_s8=outputs.get("logits_s8"))
             return v, {"TwoScaleLoss": v}
 
         return two_scale_fn

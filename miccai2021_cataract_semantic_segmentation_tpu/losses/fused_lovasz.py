@@ -1,0 +1,591 @@
+"""Fully-fused two-scale bucket Lovász from stride-8 logits.
+
+Round-1's bucket Lovász kernel was fast (23 ms) but the XLA glue around it
+cost ~100 ms/step: transposing full-res NHWC logits to the kernel's (C, P)
+row layout lowered to 17-step while loops of dynamic-update-slices, and the
+(R, P) -> (R, chunks, 1, CHUNK) chunk view forced a T(8,128) -> T(1,128)
+relayout (19 ms). This module removes all of it:
+
+  * the (C, P) transpose happens at STRIDE 8 (1.1 M elements, free), and the
+    bilinear upsample to full resolution runs IN that layout as two plain
+    dot_generals ((C·N, h, w) -> (C·N, H, W), W minor) — the same
+    align_corners=True interpolation matrices as ops/resize.
+  * softmax over the class rows of (C, P) is a cheap sublane reduction.
+  * ONE Pallas kernel takes the (R=2C, P) probability rows plus the (1, P)
+    labels and produces the (R, HI, 4·LO) bucket histograms directly:
+    fg/error construction, bucketing and the histogram matmul all happen
+    in-kernel on native (R, chunk) blocks — no relayouts, no materialised
+    error matrices in HBM.
+  * the backward kernel re-derives fg/errors from the same inputs and emits
+    dL/dprobs (R, P) with the |fg - p| sign folded in; softmax and upsample
+    backward are ordinary XLA matmuls in the same layout.
+
+Bucket semantics are identical to losses/bucket_lovasz.py (B = HI·LO = 2048,
+mean-error within buckets, fg-first tie order), so the sort-vs-bucket
+tolerance tests transfer. Reference semantics: losses/TwoScaleLoss.py:43-52
++ losses/LovaszSoftmax.py:34-95 evaluated on align_corners=True upsampled
+logits (models/OCR.py:128-138).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import _interp_matrix
+
+_HI, _LO = 64, 32            # two-level bucket split, B = 2048 (as v1)
+N_BUCKETS = _HI * _LO
+_STEP = 8192                 # pixels per inner matmul
+CHUNK = 16384                # pixels per grid step (divides 8*544*960 exactly)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout upsample: (N, h, w, C) -> (C, N*H*W) rows
+# ---------------------------------------------------------------------------
+
+def upsample_cp(logits_small: jnp.ndarray, out_hw: tuple[int, int],
+                align_corners: bool = True) -> jnp.ndarray:
+    """Bilinear-upsample stride-s logits into (C, N*H*W) row layout.
+
+    The class transpose happens at stride-8 size (trivial); the two
+    interpolation contractions are plain dot_generals whose output keeps W
+    minor, so the result is bit-layout-ready for the histogram kernel with
+    no further relayout."""
+    n, h, w, c = logits_small.shape
+    oh, ow = out_hw
+    acc = jnp.promote_types(logits_small.dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix(h, oh, align_corners).T, acc)  # (h, H)
+    mw = jnp.asarray(_interp_matrix(w, ow, align_corners).T, acc)  # (w, W)
+    t = logits_small.transpose(3, 0, 1, 2).astype(acc)             # (C,N,h,w)
+    t = t.reshape(c * n, h, w)
+    # dot_general output dims = (batch, lhs_free..., rhs_free...):
+    # contract h: (CN, h, w) x (h, H) -> (CN, w, H)
+    x1 = jax.lax.dot_general(t, mh, (((1,), (0,)), ((), ())))
+    # contract w: (CN, w, H) x (w, W) -> (CN, H, W)  [W minor]
+    x2 = jax.lax.dot_general(x1, mw, (((1,), (0,)), ((), ())))
+    return x2.reshape(c, n * oh * ow)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: (R, P) prob rows + (1, P) labels -> (R, HI, 4*LO) histograms
+# columns: [bg count (LO) | fg count (LO) | bg sum_e (LO) | fg sum_e (LO)]
+# indexed by lo; bucket b = hi*LO + lo; comb = lo + LO*fg.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(lbl_ref, probs_ref, out_ref, *, n_rows, n_cls, p_real):
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, _STEP), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, _STEP), 0)
+
+    def step(s, _):
+        off = s * _STEP
+        lbl = lbl_ref[0, pl.ds(off, _STEP)]                       # (_STEP,)
+        gidx = (p * CHUNK + off
+                + jax.lax.broadcasted_iota(jnp.int32, (1, _STEP), 1)[0])
+        gvalid = gidx < p_real
+
+        def row(r, _):
+            cls = jax.lax.rem(r, n_cls)
+            prow = probs_ref[r, pl.ds(off, _STEP)]                # (_STEP,)
+            fg = (lbl == cls)
+            e = jnp.abs(fg.astype(jnp.float32) - prow)
+            bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
+            bid = jnp.where(gvalid, bid, -1)
+            hi = jnp.where(bid < 0, -1, bid // _LO)
+            comb = jnp.where(bid < 0, -1,
+                             bid % _LO + _LO * fg.astype(jnp.int32))
+            a2 = (hi[None, :] == iota_h).astype(jnp.bfloat16)     # (HI, _STEP)
+            mask = comb[None, :] == iota_c                        # (2LO, _STEP)
+            b2t = jnp.concatenate(
+                [mask.astype(jnp.bfloat16),
+                 jnp.where(mask, e[None, :], 0.0).astype(jnp.bfloat16)],
+                axis=0)                                           # (4LO, _STEP)
+            acc = jax.lax.dot_general(
+                a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)               # (HI, 4LO)
+            out_ref[pl.ds(r, 1), :, :] += acc[None]
+            return 0
+
+        jax.lax.fori_loop(0, n_rows, row, 0)
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK // _STEP, step, 0)
+
+
+def _histogram(probs_rows, labels_row, n_cls: int, p_real: int):
+    r, p_pad = probs_rows.shape
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_rows=r, n_cls=n_cls, p_real=p_real),
+        grid=(p_pad // CHUNK,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, CHUNK), lambda p: (0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, _HI, 4 * _LO), lambda p: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, _HI, 4 * _LO), jnp.float32),
+        interpret=_use_interpret(),
+    )(labels_row, probs_rows)
+    # columns [bg count | fg count | bg se | fg se], each LO wide, per hi
+    out = out.reshape(r, _HI, 4, _LO)
+    n_bg, n_fg = out[:, :, 0], out[:, :, 1]
+    se_bg, se_fg = out[:, :, 2], out[:, :, 3]
+    return jnp.stack([n_fg.reshape(r, N_BUCKETS), n_bg.reshape(r, N_BUCKETS),
+                      se_fg.reshape(r, N_BUCKETS), se_bg.reshape(r, N_BUCKETS)],
+                     axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Loss math on the (R, B, 4) histograms (same derivation as bucket_lovasz)
+# ---------------------------------------------------------------------------
+
+def _losses_and_tables(hist):
+    """per_row (R,), gts (R,), g_fg/g_bg (R, B) bucket gradients."""
+    n1 = hist[..., 0][:, ::-1]   # descending bucket order
+    n0 = hist[..., 1][:, ::-1]
+    se1 = hist[..., 2][:, ::-1]
+    se0 = hist[..., 3][:, ::-1]
+    g_total = jnp.sum(n1, axis=1, keepdims=True)
+
+    cum_n = jnp.cumsum(n1 + n0, axis=1)
+    cum_f = jnp.cumsum(n1, axis=1)
+    s = cum_n - (n1 + n0)
+    f = cum_f - n1
+
+    def jacc(i, fo):
+        union = g_total + i - fo
+        return 1.0 - jnp.where(union > 0,
+                               (g_total - fo) / jnp.where(union > 0, union, 1.0),
+                               1.0)
+
+    j_start = jacc(s, f)
+    j_mid = jacc(s + n1, f + n1)
+    j_end = jacc(s + n1 + n0, f + n1)
+    g_fg = (j_mid - j_start) / jnp.maximum(n1, 1.0)
+    g_bg = (j_end - j_mid) / jnp.maximum(n0, 1.0)
+    per_row = jnp.sum(se1 * g_fg + se0 * g_bg, axis=1)
+    return per_row, g_total[:, 0], g_fg[:, ::-1], g_bg[:, ::-1]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: re-derive fg/bid, gather table gradients, fold |.| sign
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(lbl_ref, probs_ref, tbl_ref, out_ref, *, n_rows, n_cls, p_real):
+    p = pl.program_id(0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, _STEP), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, _STEP), 0)
+
+    def step(s, _):
+        off = s * _STEP
+        lbl = lbl_ref[0, pl.ds(off, _STEP)]
+        gidx = (p * CHUNK + off
+                + jax.lax.broadcasted_iota(jnp.int32, (1, _STEP), 1)[0])
+        gvalid = gidx < p_real
+
+        def row(r, _):
+            cls = jax.lax.rem(r, n_cls)
+            prow = probs_ref[r, pl.ds(off, _STEP)]
+            fg = (lbl == cls)
+            fg_f = fg.astype(jnp.float32)
+            e = jnp.abs(fg_f - prow)
+            bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
+            hi = bid // _LO
+            comb = bid % _LO + _LO * fg.astype(jnp.int32)
+            oh_hi = (hi[None, :] == iota_h).astype(jnp.bfloat16)   # (HI, _STEP)
+            tbl = tbl_ref[r, :, :].astype(jnp.bfloat16)            # (2LO, HI)
+            tmp = jax.lax.dot_general(
+                tbl, oh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (2LO, _STEP)
+            picked = jnp.where(comb[None, :] == iota_c, tmp, 0.0)
+            de = jnp.sum(picked, axis=0)                           # (_STEP,)
+            # d e / d p = sign(p - fg): -1 on fg pixels, +1 on bg
+            dp = jnp.where(fg, -de, de)
+            dp = jnp.where(gvalid, dp, 0.0)
+            out_ref[pl.ds(r, 1), pl.ds(off, _STEP)] = dp[None]
+            return 0
+
+        jax.lax.fori_loop(0, n_rows, row, 0)
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK // _STEP, step, 0)
+
+
+def _grad_probs(probs_rows, labels_row, tbl, n_cls: int, p_real: int):
+    r, p_pad = probs_rows.shape
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, n_rows=r, n_cls=n_cls, p_real=p_real),
+        grid=(p_pad // CHUNK,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, CHUNK), lambda p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 2 * _LO, _HI), lambda p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, CHUNK), lambda p: (0, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, p_pad), jnp.float32),
+        interpret=_use_interpret(),
+    )(labels_row, probs_rows, tbl)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp row Lovász: (R, P) probs + (P,) labels -> (R,) terms, (R,) gts
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def lovasz_rows_bucket(probs_rows, labels_flat, n_cls: int):
+    """Per-row bucket-Lovász terms for stacked (R, P) probability rows.
+
+    Row r scores class ``r % n_cls``; returns (per_row (R,), gts (R,)) where
+    gts is the per-row foreground count (for the 'present' filter — free
+    from the histogram, no extra pass)."""
+    per_row, gts, _, _ = _losses_and_tables(
+        _histogram(*_prep(probs_rows, labels_flat), n_cls,
+                   probs_rows.shape[1]))
+    return per_row, gts
+
+
+def _prep(probs_rows, labels_flat):
+    r, p_real = probs_rows.shape
+    p_pad = -(-p_real // CHUNK) * CHUNK
+    if p_pad != p_real:
+        probs_rows = jnp.pad(probs_rows, ((0, 0), (0, p_pad - p_real)))
+        labels_flat = jnp.pad(labels_flat, (0, p_pad - p_real),
+                              constant_values=-1)
+    return probs_rows.astype(jnp.float32), labels_flat.reshape(1, p_pad)
+
+
+def _rows_fwd(probs_rows, labels_flat, n_cls):
+    p_real = probs_rows.shape[1]
+    probs_p, lbl_p = _prep(probs_rows, labels_flat)
+    per_row, gts, g_fg, g_bg = _losses_and_tables(
+        _histogram(probs_p, lbl_p, n_cls, p_real))
+    return (per_row, gts), (probs_p, lbl_p, g_fg, g_bg, p_real)
+
+
+def _rows_bwd(n_cls, res, cts):
+    probs_p, lbl_p, g_fg, g_bg, p_real = res
+    ct = cts[0]  # gts output is integer-valued statistics; its ct is zero
+    r = probs_p.shape[0]
+    # fold the per-row cotangent into the bucket tables; lay them out as
+    # (R, comb=2*LO, HI) so the kernel's gather matmul needs no transpose
+    gf = (g_fg * ct[:, None]).reshape(r, _HI, _LO)
+    gb = (g_bg * ct[:, None]).reshape(r, _HI, _LO)
+    tbl = jnp.concatenate([gb, gf], axis=-1)          # (R, HI, 2LO)
+    tbl = tbl.transpose(0, 2, 1)                      # (R, 2LO, HI)
+    dp = _grad_probs(probs_p, lbl_p, tbl, n_cls, p_real)
+    return dp[:, :p_real], None
+
+
+lovasz_rows_bucket.defvjp(_rows_fwd, _rows_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v3: NCHW-block kernels. The (R, P) row layout above is kernel-optimal but
+# producing it from the upsample's (C·N, H, W) output needs an XLA reshape
+# that merges N into the pixel lane dim — which XLA lowers to a 17-step
+# while loop of dynamic-update-slices (~30 ms/step fwd+bwd, measured). These
+# kernels instead block the upsampled logits in their NATIVE (N, C, H, W)
+# layout and do softmax + fg/error construction + histogram (and, backward,
+# the softmax VJP) entirely in-kernel. No (C, P) array ever exists in HBM.
+# ---------------------------------------------------------------------------
+
+def _pick_bh(h: int) -> int:
+    """Largest block height <= 8 dividing H (W is lane-padded separately)."""
+    for bh in (8, 4, 2, 1):
+        if h % bh == 0:
+            return bh
+    return 1
+
+
+def _softmax_rows(x):
+    """softmax over axis 0 of (C, bh, W); returns f32."""
+    m = jnp.max(x, axis=0, keepdims=True)
+    ex = jnp.exp(x - m)
+    return ex / jnp.sum(ex, axis=0, keepdims=True)
+
+
+# Flattening (C, bh, W) -> (C, bh*W) inside a kernel cannot be a vector op:
+# Mosaic rejects both the shape cast (sublanes can't merge into lanes) and
+# concatenation of sublane-offset slices. Refs are plain memory though, so
+# the kernels stage values in VMEM scratch and move sublane rows to lane
+# offsets with ref-to-ref copies (every ref read yields a canonical-layout
+# value; every aligned-lane store accepts one).
+
+
+def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
+                     *, n_cls, bh, w, w_real):
+    """pscr: (2C, K) f32 scratch holding both scales' flattened probs, so the
+    per-class work is ONE fori_loop body (compile-time critical: a 34-way
+    Python unroll of the one-hot+matmul body takes Mosaic >10 min).
+    `w` is the lane-padded width; lanes >= w_real are pad and are excluded
+    from the histogram exactly (their bucket id is forced to -1)."""
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    k = bh * w
+    sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+        lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
+    sscr[...] = _softmax_rows(lf_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+    lbl = lscr[0:1, :]                                   # (1, K) i32
+    valid = (lbl >= 0).astype(jnp.float32)
+    if w_real != w:
+        kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        inlane = kio % w < w_real                        # (1, K) pad mask
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, k), 0)
+
+    def row(r, _):
+        cls = jax.lax.rem(r, n_cls)
+        prow = pscr[pl.ds(r, 1), :] * valid              # (1, K)
+        fg = lbl == cls
+        e = jnp.abs(fg.astype(jnp.float32) - prow)
+        bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
+        if w_real != w:
+            bid = jnp.where(inlane, bid, -1)
+        hi = jnp.where(bid < 0, -1, bid // _LO)
+        comb = jnp.where(bid < 0, -1,
+                         bid % _LO + _LO * fg.astype(jnp.int32))
+        a2 = (hi == iota_h).astype(jnp.bfloat16)         # (HI, K)
+        mask = comb == iota_c                            # (2LO, K)
+        b2t = jnp.concatenate(
+            [mask.astype(jnp.bfloat16),
+             jnp.where(mask, e, 0.0).astype(jnp.bfloat16)], axis=0)
+        acc = jax.lax.dot_general(
+            a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (HI, 4LO)
+        out_ref[pl.ds(r, 1), :, :] += acc[None]
+        return 0
+
+    jax.lax.fori_loop(0, 2 * n_cls, row, 0)
+
+
+def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
+                     pscr, dscr, sscr, lscr, *, n_cls, bh, w, w_real):
+    k = bh * w
+    sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+        lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
+    sscr[...] = _softmax_rows(lf_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+    lbl = lscr[0:1, :]
+    valid = (lbl >= 0).astype(jnp.float32)
+    if w_real != w:
+        kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        valid = valid * (kio % w < w_real).astype(jnp.float32)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, k), 0)
+
+    def row(r, _):
+        cls = jax.lax.rem(r, n_cls)
+        prow = pscr[pl.ds(r, 1), :] * valid
+        fg = lbl == cls
+        e = jnp.abs(fg.astype(jnp.float32) - prow)
+        bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
+        hi = bid // _LO
+        comb = bid % _LO + _LO * fg.astype(jnp.int32)
+        oh_hi = (hi == iota_h).astype(jnp.bfloat16)      # (HI, K)
+        tbl = tbl_ref[r, :, :].astype(jnp.bfloat16)      # (2LO, HI)
+        tmp = jax.lax.dot_general(
+            tbl, oh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (2LO, K)
+        de = jnp.sum(jnp.where(comb == iota_c, tmp, 0.0), axis=0,
+                     keepdims=True)                      # (1, K)
+        # dL/dp = de * sign(p - fg) * valid
+        dscr[pl.ds(r, 1), :] = jnp.where(fg, -de, de) * valid
+        return 0
+
+    jax.lax.fori_loop(0, 2 * n_cls, row, 0)
+
+    for si, dref in ((0, dli_ref), (1, dlf_ref)):
+        lo_r, hi_r = si * n_cls, (si + 1) * n_cls
+        pf = pscr[lo_r:hi_r, :]                          # (C, K)
+        dp = dscr[lo_r:hi_r, :]
+        s = jnp.sum(dp * pf, axis=0, keepdims=True)      # softmax VJP
+        dscr[lo_r:hi_r, :] = pf * (dp - s)
+        for j in range(bh):
+            dref[0, :, j, :] = dscr[lo_r:hi_r, pl.ds(j * w, w)]
+
+
+def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
+                    w_real: int):
+    n, c, h, w = logits_i.shape
+    out = pl.pallas_call(
+        functools.partial(_nchw_fwd_kernel, n_cls=n_cls, bh=bh, w=w,
+                          w_real=w_real),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * c, _HI, 4 * _LO), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * c, _HI, 4 * _LO), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * c, bh * w), jnp.float32),
+                        pltpu.VMEM((c, bh, w), jnp.float32),
+                        pltpu.VMEM((1, bh * w), jnp.int32)],
+        interpret=_use_interpret(),
+    )(labels, logits_i, logits_f)
+    r = 2 * c
+    out = out.reshape(r, _HI, 4, _LO)
+    n_bg, n_fg = out[:, :, 0], out[:, :, 1]
+    se_bg, se_fg = out[:, :, 2], out[:, :, 3]
+    return jnp.stack([n_fg.reshape(r, N_BUCKETS), n_bg.reshape(r, N_BUCKETS),
+                      se_fg.reshape(r, N_BUCKETS), se_bg.reshape(r, N_BUCKETS)],
+                     axis=-1)
+
+
+def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
+               w_real: int):
+    n, c, h, w = logits_i.shape
+    return pl.pallas_call(
+        functools.partial(_nchw_bwd_kernel, n_cls=n_cls, bh=bh, w=w,
+                          w_real=w_real),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, 2 * _LO, _HI), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(logits_i.shape, jnp.float32),
+            jax.ShapeDtypeStruct(logits_f.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * c, bh * w), jnp.float32),
+                        pltpu.VMEM((2 * c, bh * w), jnp.float32),
+                        pltpu.VMEM((c, bh, w), jnp.float32),
+                        pltpu.VMEM((1, bh * w), jnp.int32)],
+        interpret=_use_interpret(),
+    )(labels, logits_i, logits_f, tbl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def lovasz_two_scale_nchw(logits_i, logits_f, labels, n_cls: int, bh: int,
+                          w_real: int):
+    """Two-scale bucket-Lovász core on (N, C, H, W_pad) f32 logit grids.
+
+    `labels` (N, H, W_pad) i32 with ignore pixels pre-folded to -1 and pad
+    lanes (>= w_real) set to -1. Softmax over C happens inside the kernels.
+    Returns (per_row (2C,), gts (2C,)) — rows [0, C) are the interm scale,
+    [C, 2C) the final scale."""
+    per_row, gts, _, _ = _losses_and_tables(
+        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real))
+    return per_row, gts
+
+
+def _nchw_fwd(logits_i, logits_f, labels, n_cls, bh, w_real):
+    per_row, gts, g_fg, g_bg = _losses_and_tables(
+        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real))
+    return (per_row, gts), (logits_i, logits_f, labels, g_fg, g_bg)
+
+
+def _nchw_bwd(n_cls, bh, w_real, res, cts):
+    logits_i, logits_f, labels, g_fg, g_bg = res
+    ct = cts[0]
+    r = g_fg.shape[0]
+    gf = (g_fg * ct[:, None]).reshape(r, _HI, _LO)
+    gb = (g_bg * ct[:, None]).reshape(r, _HI, _LO)
+    tbl = jnp.concatenate([gb, gf], axis=-1).transpose(0, 2, 1)  # (R, 2LO, HI)
+    dli, dlf = _nchw_grad(logits_i, logits_f, labels, tbl, n_cls, bh, w_real)
+    return dli, dlf, None
+
+
+lovasz_two_scale_nchw.defvjp(_nchw_fwd, _nchw_bwd)
+
+
+def upsample_nchw(logits_small: jnp.ndarray, out_hw: tuple[int, int],
+                  align_corners: bool = True, w_pad: int | None = None
+                  ) -> jnp.ndarray:
+    """(N, h, w, C) -> (N, C, H, W[_pad]) f32 bilinear upsample as two
+    dot_generals.
+
+    The class transpose happens at stride-8 size; both contractions write
+    natural row-major layouts, so the output feeds the NCHW kernels with no
+    relayout. `w_pad` zero-pads the interpolation matrix columns so the
+    output width is lane-aligned — the pad costs nothing in the matmul and
+    keeps the kernels' lane-concat flatten vreg-aligned."""
+    n, h, w, c = logits_small.shape
+    oh, ow = out_hw
+    acc = jnp.promote_types(logits_small.dtype, jnp.float32)
+    mh = jnp.asarray(_interp_matrix(h, oh, align_corners).T, acc)  # (h, H)
+    mw_np = _interp_matrix(w, ow, align_corners).T                 # (w, W)
+    if w_pad is not None and w_pad != ow:
+        mw_np = np.pad(mw_np, ((0, 0), (0, w_pad - ow)))
+    mw = jnp.asarray(mw_np, acc)
+    t = logits_small.transpose(0, 3, 1, 2).astype(acc)   # (N, C, h, w)
+    t = t.reshape(n * c, h, w)
+    x1 = jax.lax.dot_general(t, mh, (((1,), (0,)), ((), ())))   # (NC, w, H)
+    x2 = jax.lax.dot_general(x1, mw, (((1,), (0,)), ((), ())))  # (NC, H, W)
+    return x2.reshape(n, c, oh, mw.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# Public entry: fused two-scale Lovász from stride-8 logits
+# ---------------------------------------------------------------------------
+
+def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
+                                     labels, w_interm: float, w_final: float,
+                                     classes_to_ignore: int | None = None):
+    """TwoScaleLoss(Lovász, Lovász) evaluated at full label resolution from
+    stride-8 logits, with the align_corners=True upsample fused into the
+    transposed-layout pipeline (reference: models/OCR.py:128-138 upsamples
+    both logit sets with align_corners=True before TwoScaleLoss)."""
+    n, h, w = labels.shape
+    c = final_logits_s8.shape[-1]
+    lbl = labels.astype(jnp.int32)
+    if classes_to_ignore is not None:
+        lbl = jnp.where(lbl == classes_to_ignore, -1, lbl)
+    bh = _pick_bh(h)
+    w_pad = -(-w // 128) * 128
+    li = upsample_nchw(interm_logits_s8, (h, w), w_pad=w_pad).astype(jnp.float32)
+    lf = upsample_nchw(final_logits_s8, (h, w), w_pad=w_pad).astype(jnp.float32)
+    if w_pad != w:
+        lbl = jnp.pad(lbl, ((0, 0), (0, 0), (0, w_pad - w)),
+                      constant_values=-1)
+    per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bh, w)
+    present = (gts > 0).astype(jnp.float32)
+    pr_i, pr_f = present[:c], present[c:]
+    loss_i = jnp.sum(per_row[:c] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
+    loss_f = jnp.sum(per_row[c:] * pr_f) / jnp.maximum(jnp.sum(pr_f), 1.0)
+    return w_interm * loss_i + w_final * loss_f

@@ -160,6 +160,11 @@ class OCRNet(nn.Module):
         out = {
             "logits": to_f32(upsample_like(logits, in_hw)),
             "interm_logits": to_f32(upsample_like(interm_logits, in_hw)),
+            # pre-upsample logits for losses that fuse the align_corners
+            # upsample into their own pipeline (losses/fused_lovasz.py);
+            # XLA dead-code-eliminates these when the loss doesn't use them
+            "logits_s8": to_f32(logits),
+            "interm_logits_s8": to_f32(interm_logits),
             "deep_features": high,
         }
         if self.projector is not None:

@@ -1,0 +1,117 @@
+"""Fused stride-8 two-scale bucket Lovász (losses/fused_lovasz.py) vs the
+sort-based oracle and the v1 bucket path.
+
+The fused path owns the align_corners=True upsample + softmax + histogram
+pipeline (reference models/OCR.py:128-138 + losses/TwoScaleLoss.py:43-52),
+so parity is checked end to end from stride-8 logits."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
+from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (
+    fused_two_scale_lovasz)
+from miccai2021_cataract_semantic_segmentation_tpu.losses.fused_lovasz import (
+    fused_two_scale_bucket_lovasz_s8, upsample_nchw)
+from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import resize_bilinear
+
+
+@pytest.fixture
+def shapes():
+    rng = np.random.default_rng(0)
+    n, h8, w8, c, H, W = 2, 17, 30, 5, 136, 240
+    li = jnp.asarray(rng.normal(size=(n, h8, w8, c)).astype(np.float32)) * 2
+    lf = jnp.asarray(rng.normal(size=(n, h8, w8, c)).astype(np.float32)) * 2
+    lbl = jnp.asarray(rng.integers(0, c, (n, H, W)).astype(np.int32))
+    return li, lf, lbl, (H, W), c
+
+
+def test_upsample_nchw_matches_resize_bilinear(shapes):
+    li, lf, lbl, (H, W), c = shapes
+    ref = resize_bilinear(lf, (H, W), align_corners=True)       # (N,H,W,C)
+    got = upsample_nchw(lf, (H, W)).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=0)
+
+
+def test_fused_value_matches_sort_oracle(shapes):
+    li, lf, lbl, (H, W), c = shapes
+    li_up = resize_bilinear(li, (H, W), align_corners=True)
+    lf_up = resize_bilinear(lf, (H, W), align_corners=True)
+    ref = fused_two_scale_lovasz(li_up, lf_up, lbl, 0.4, 1.0, impl="sort")
+    got = fused_two_scale_bucket_lovasz_s8(li, lf, lbl, 0.4, 1.0)
+    assert abs(float(got) - float(ref)) < 2e-3
+
+
+def test_fused_value_with_ignore_class(shapes):
+    li, lf, lbl, (H, W), c = shapes
+    lbl = lbl.at[:, :8, :].set(c - 1)
+    li_up = resize_bilinear(li, (H, W), align_corners=True)
+    lf_up = resize_bilinear(lf, (H, W), align_corners=True)
+    ref = fused_two_scale_lovasz(li_up, lf_up, lbl, 0.4, 1.0,
+                                 classes_to_ignore=c - 1, impl="sort")
+    got = fused_two_scale_bucket_lovasz_s8(li, lf, lbl, 0.4, 1.0,
+                                           classes_to_ignore=c - 1)
+    assert abs(float(got) - float(ref)) < 2e-3
+
+
+def test_fused_gradient_cosine_vs_sort(shapes):
+    li, lf, lbl, (H, W), c = shapes
+
+    def f_sort(a, b):
+        return fused_two_scale_lovasz(
+            resize_bilinear(a, (H, W), True), resize_bilinear(b, (H, W), True),
+            lbl, 0.4, 1.0, impl="sort")
+
+    def f_new(a, b):
+        return fused_two_scale_bucket_lovasz_s8(a, b, lbl, 0.4, 1.0)
+
+    gs = jax.grad(f_sort, argnums=(0, 1))(li, lf)
+    gn = jax.grad(f_new, argnums=(0, 1))(li, lf)
+    for a, b in zip(gs, gn):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999
+        assert abs(np.linalg.norm(b) / np.linalg.norm(a) - 1) < 0.02
+
+
+def test_build_loss_routes_s8_outputs(shapes):
+    """TwoScaleLoss + bucket impl + *_s8 outputs -> the fused kernel path;
+    value must agree with the same loss fed full-res logits only."""
+    li, lf, lbl, (H, W), c = shapes
+    loss_fn = build_loss({"name": "TwoScaleLoss", "lovasz_impl": "bucket",
+                          "interm": {"name": "LovaszSoftmax", "weight": 0.4},
+                          "final": {"name": "LovaszSoftmax", "weight": 1.0}},
+                         task=1)
+    up = {"interm_logits": resize_bilinear(li, (H, W), True),
+          "logits": resize_bilinear(lf, (H, W), True)}
+    v_plain, _ = loss_fn({**up}, lbl)
+    v_fused, _ = loss_fn({**up, "interm_logits_s8": li, "logits_s8": lf}, lbl)
+    assert abs(float(v_fused) - float(v_plain)) < 2e-3
+
+
+def test_fused_degenerate_labels_finite(shapes):
+    li, lf, lbl, (H, W), c = shapes
+    for fill in (0, c - 1):
+        l2 = jnp.full_like(lbl, fill)
+        v = fused_two_scale_bucket_lovasz_s8(li, lf, l2, 0.4, 1.0)
+        g = jax.grad(lambda a: fused_two_scale_bucket_lovasz_s8(
+            a, lf, l2, 0.4, 1.0))(li)
+        assert np.isfinite(float(v))
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_fused_under_jit_and_odd_width():
+    """Non-128-multiple widths exercise the lane-padding path."""
+    rng = np.random.default_rng(1)
+    n, h8, w8, c, H, W = 1, 9, 12, 4, 72, 96
+    li = jnp.asarray(rng.normal(size=(n, h8, w8, c)).astype(np.float32))
+    lf = jnp.asarray(rng.normal(size=(n, h8, w8, c)).astype(np.float32))
+    lbl = jnp.asarray(rng.integers(0, c, (n, H, W)).astype(np.int32))
+    ref = fused_two_scale_lovasz(
+        resize_bilinear(li, (H, W), True), resize_bilinear(lf, (H, W), True),
+        lbl, 0.4, 1.0, impl="sort")
+    got = jax.jit(lambda a, b, l: fused_two_scale_bucket_lovasz_s8(
+        a, b, l, 0.4, 1.0))(li, lf, lbl)
+    assert abs(float(got) - float(ref)) < 2e-3
