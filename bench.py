@@ -7,10 +7,11 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 `vs_baseline` is value / A100_TRAIN_BASELINE_FPS.
 
 A100 baseline: the reference publishes no throughput (BASELINE.md). The
-estimate below (60 fps train @ bs8 544x960 for OCR-R50-os8 on one A100,
-PyTorch 1.7 eager + cuDNN) derives from typical published mmseg OCR-R101
-iteration times (~0.35 s/iter @ 8x512x1024 crops on V100, scaled by A100
-~2x and R50/R101 FLOP ratio); revise when a measured number exists.
+60 fps estimate is a roofline derivation (PERF.md section 5): the measured
+19.2 TFLOP step on an A100 (312 TFLOP/s bf16) at eager PyTorch's typical
+40-50% MFU gives 52-65 fps. The stderr line also prints the achieved MFU
+against the v5e bf16 peak so the number is interpretable without the
+baseline (full analysis: PERF.md).
 """
 from __future__ import annotations
 
@@ -23,6 +24,11 @@ if "/root/repo" not in sys.path:
 
 A100_TRAIN_BASELINE_FPS = 60.0
 A100_INFER_BASELINE_FPS = 160.0
+
+# measured workload size (PERF.md section 1) and v5e bf16 peak, for MFU
+TRAIN_STEP_TFLOP = 19.2   # 15.46 T XLA-counted + 3.7 T Pallas histograms
+EVAL_STEP_TFLOP = 5.12
+V5E_PEAK_TFLOPS = 197.0
 
 
 def main():
@@ -84,8 +90,12 @@ def main():
     infer_dt = (time.perf_counter() - t0) / n_steps
     infer_fps = bs / infer_dt
 
-    print(f"# train: {train_dt * 1000:.1f} ms/step ({train_fps:.1f} fps) | "
-          f"infer: {infer_dt * 1000:.1f} ms/step ({infer_fps:.1f} fps) | "
+    train_mfu = TRAIN_STEP_TFLOP / train_dt / V5E_PEAK_TFLOPS
+    infer_mfu = EVAL_STEP_TFLOP / infer_dt / V5E_PEAK_TFLOPS
+    print(f"# train: {train_dt * 1000:.1f} ms/step ({train_fps:.1f} fps, "
+          f"{train_mfu:.0%} MFU) | "
+          f"infer: {infer_dt * 1000:.1f} ms/step ({infer_fps:.1f} fps, "
+          f"{infer_mfu:.0%} MFU) | "
           f"infer_vs_baseline {infer_fps / A100_INFER_BASELINE_FPS:.2f}",
           file=sys.stderr)
     print(json.dumps({

@@ -54,12 +54,18 @@ class EncDec(nn.Module):
             out = {"logits": logits}
         elif dec_name == "PointRend":
             from miccai2021_cataract_semantic_segmentation_tpu.models.pointrend import PointRendDecoder
+            # accept both the reference config vocabulary (PointRend.py:14-19)
+            # and the internal field names
+            aliases = {"pr_train_num_pts": "num_points",
+                       "pr_oversample_ratio": "oversample_ratio",
+                       "pr_importance_sample_ratio": "importance_sample_ratio",
+                       "pr_subdivision_num_pts": "subdivision_num_points"}
+            kw = {aliases.get(k, k): v for k, v in dec_cfg.items()}
             out = PointRendDecoder(task=self.task, dtype=self.dtype,
                                    name="decoder",
-                                   **{k: v for k, v in dec_cfg.items()
+                                   **{k: v for k, v in kw.items()
                                       if k in ("num_points", "oversample_ratio",
                                                "importance_sample_ratio",
-                                               "subdivision_steps",
                                                "subdivision_num_points")},
                                    )(conv_out, train)
         else:

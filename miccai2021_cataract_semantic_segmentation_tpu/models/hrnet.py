@@ -27,6 +27,7 @@ class _ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     relu: bool = True
+    bias: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -34,7 +35,7 @@ class _ConvBNReLU(nn.Module):
         p = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=((p, p), (p, p)),
-                    use_bias=False, dtype=self.dtype, name="conv")(x)
+                    use_bias=self.bias, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(not train, momentum=_BN, dtype=self.dtype, name="bn")(x)
         return nn.relu(x) if self.relu else x
 
@@ -136,7 +137,10 @@ class HRNetv2(nn.Module):
         y = jnp.concatenate(
             [xs[0]] + [upsample_like(z, hw, align_corners=False) for z in xs[1:]],
             axis=-1)
-        y = _ConvBNReLU(sum(widths), 1, dtype=self.dtype, name="head")(y, train)
+        # the reference's last_layer 1x1 conv keeps torch's default bias
+        # (HRNetv2.py:285-292) — required for checkpoint parity
+        y = _ConvBNReLU(sum(widths), 1, bias=True, dtype=self.dtype,
+                        name="head")(y, train)
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="cls")(y)
         logits = upsample_like(logits, in_hw, align_corners=False)
         return {"logits": to_f32(logits)}

@@ -263,28 +263,143 @@ def port_deeplabv3plus(sd, params, batch_stats):
     return _apply(params, batch_stats, p_up, s_up)
 
 
+def _upernet_table(torch_prefix: str, flax_prefix: tuple[str, ...],
+                   n_lvl: int = 4):
+    """Sequential table for a UPerNet decoder subtree (models/UPerNet.py)."""
+    table = []
+    for i in range(4):  # ppm convs: Sequential(conv, bn, relu)
+        table.append((f"{torch_prefix}ppm_conv.{i}", _CONVBN,
+                      flax_prefix + (f"ppm_conv_{i}",)))
+    # conv3x3 helper builds Sequential(conv, bn, relu) (torch_utils.py:165-187)
+    table.append((f"{torch_prefix}ppm_last_conv", _CONVBN,
+                  flax_prefix + ("ppm_last_conv",)))
+    for i in range(n_lvl - 1):
+        table.append((f"{torch_prefix}fpn_in.{i}", _CONVBN,
+                      flax_prefix + (f"fpn_in_{i}",)))
+        # fpn_out entries are Sequential(Sequential(conv,bn,relu)) -> "0.0"/"0.1"
+        table.append((f"{torch_prefix}fpn_out.{i}.0", _CONVBN,
+                      flax_prefix + (f"fpn_out_{i}",)))
+    table.append((f"{torch_prefix}conv_last.0", _CONVBN,
+                  flax_prefix + ("conv_last",)))
+    return table
+
+
+def _upernet_cls(sd, torch_prefix, flax_prefix, p_up):
+    key = f"{torch_prefix}conv_last.1"
+    if f"{key}.weight" in sd:
+        p_up.append((flax_prefix + ("cls", "kernel"),
+                     _conv_to_hwio(sd[f"{key}.weight"])))
+        p_up.append((flax_prefix + ("cls", "bias"), sd[f"{key}.bias"]))
+
+
 def port_encdec_upernet(sd, params, batch_stats, n_lvl: int = 4):
     """EncDec(ResNet encoder + UPerNet decoder) state dict (models/EncDec.py,
     models/UPerNet.py)."""
     p_up, s_up = port_resnet_backbone(sd, "enc_model.", ("encoder",))
-    table = []
-    for i in range(4):  # ppm convs: Sequential(conv, bn, relu)
-        table.append((f"dec_model.ppm_conv.{i}", _CONVBN,
-                      ("decoder", f"ppm_conv_{i}")))
-    # conv3x3 helper builds Sequential(conv, bn, relu) (torch_utils.py:165-187)
-    table.append(("dec_model.ppm_last_conv", _CONVBN, ("decoder", "ppm_last_conv")))
-    for i in range(n_lvl - 1):
-        table.append((f"dec_model.fpn_in.{i}", _CONVBN, ("decoder", f"fpn_in_{i}")))
-        # fpn_out entries are Sequential(Sequential(conv,bn,relu)) -> "0.0"/"0.1"
-        table.append((f"dec_model.fpn_out.{i}.0", _CONVBN, ("decoder", f"fpn_out_{i}")))
-    table.append(("dec_model.conv_last.0", _CONVBN, ("decoder", "conv_last")))
-    tp, ts = _module_updates(sd, table)
+    tp, ts = _module_updates(sd, _upernet_table("dec_model.", ("decoder",),
+                                                n_lvl))
     p_up += tp
     s_up += ts
-    if "dec_model.conv_last.1.weight" in sd:
-        p_up.append((("decoder", "cls", "kernel"),
-                     _conv_to_hwio(sd["dec_model.conv_last.1.weight"])))
-        p_up.append((("decoder", "cls", "bias"), sd["dec_model.conv_last.1.bias"]))
+    _upernet_cls(sd, "dec_model.", ("decoder",), p_up)
+    return _apply(params, batch_stats, p_up, s_up)
+
+
+def port_encdec_pointrend(sd, params, batch_stats, n_lvl: int = 4):
+    """EncDec(ResNet encoder + PointRend decoder): partial UPerNet coarse
+    head + StandardPointHead Conv1d MLP (models/PointRend.py:29-141)."""
+    p_up, s_up = port_resnet_backbone(sd, "enc_model.", ("encoder",))
+    tp, ts = _module_updates(
+        sd, _upernet_table("dec_model.partial_upernet.",
+                           ("decoder", "coarse"), n_lvl))
+    p_up += tp
+    s_up += ts
+    _upernet_cls(sd, "dec_model.partial_upernet.", ("decoder", "coarse"), p_up)
+    # point head: Conv1d(out, in, 1) -> Dense kernel (in, out)
+    head = [k[len("dec_model.point_head."):].split(".")[0]
+            for k in sd if k.startswith("dec_model.point_head.")]
+    for mod in sorted(set(head)):
+        w = sd[f"dec_model.point_head.{mod}.weight"]
+        p_up.append((("decoder", "point_head", mod, "kernel"), w[:, :, 0].T))
+        p_up.append((("decoder", "point_head", mod, "bias"),
+                     sd[f"dec_model.point_head.{mod}.bias"]))
+    return _apply(params, batch_stats, p_up, s_up)
+
+
+def port_encdec(sd, params, batch_stats, n_lvl: int = 4):
+    """Dispatch EncDec checkpoints on the decoder type found in the keys."""
+    if any(k.startswith("dec_model.point_head.") for k in sd):
+        return port_encdec_pointrend(sd, params, batch_stats, n_lvl)
+    return port_encdec_upernet(sd, params, batch_stats, n_lvl)
+
+
+_BN_LEAVES = [("weight", "scale", True), ("bias", "bias", True),
+              ("running_mean", "mean", False), ("running_var", "var", False)]
+
+
+def port_hrnet(sd, params, batch_stats):
+    """Reference models/HRNetv2.py state dict -> flax HRNetv2 tree.
+
+    Stage modules sit at index 0 (all stages have num_modules=1,
+    HRNetv2.py:279-309); transitions for existing branches are
+    Sequential(conv, bn, relu), new branches wrap one more Sequential."""
+    p_up, s_up = [], []
+
+    def convbn(conv_key, bn_key, fpath):
+        if f"{conv_key}.weight" in sd:
+            p_up.append((fpath + ("conv", "kernel"),
+                         _conv_to_hwio(sd[f"{conv_key}.weight"])))
+        if f"{conv_key}.bias" in sd:
+            p_up.append((fpath + ("conv", "bias"), sd[f"{conv_key}.bias"]))
+        for tleaf, fleaf, is_p in _BN_LEAVES:
+            k = f"{bn_key}.{tleaf}"
+            if k in sd:
+                (p_up if is_p else s_up).append((fpath + ("bn", fleaf), sd[k]))
+
+    def block_updates(torch_base, flax_base):
+        """One BasicBlock/Bottleneck subtree via the resnet key mapper."""
+        for k, v in sd.items():
+            if not k.startswith(torch_base + "."):
+                continue
+            res = _resnet_flax_path(k[len(torch_base) + 1:])
+            if res is None:
+                continue
+            path, kind = res
+            path = flax_base + path
+            if kind == "kernel":
+                p_up.append((path + ("kernel",), _conv_to_hwio(v)))
+            elif kind.startswith("bn."):
+                leaf = kind.split(".")[1]
+                (p_up if leaf in ("scale", "bias") else s_up).append(
+                    (path + (leaf,), v))
+
+    convbn("conv1", "bn1", ("stem1",))
+    convbn("conv2", "bn2", ("stem2",))
+    for b in range(4):
+        block_updates(f"layer1.{b}", (f"layer1_{b}",))
+    for t, n_br in ((1, 2), (2, 3), (3, 4)):
+        for i in range(n_br):
+            base = f"transition{t}.{i}"
+            if f"{base}.0.weight" in sd:        # existing branch: conv,bn,relu
+                convbn(f"{base}.0", f"{base}.1", (f"trans{t + 1}_{i}",))
+            elif f"{base}.0.0.weight" in sd:    # new branch: Seq(Seq(...))
+                convbn(f"{base}.0.0", f"{base}.0.1", (f"trans{t + 1}_{i}",))
+    for s, n_br in ((2, 2), (3, 3), (4, 4)):
+        for i in range(n_br):
+            for b in range(4):
+                block_updates(f"stage{s}.0.branches.{i}.{b}",
+                              (f"stage{s}", f"branch{i}", f"block{b}"))
+            for j in range(n_br):
+                base = f"stage{s}.0.fuse_layers.{i}.{j}"
+                if j > i:
+                    convbn(f"{base}.0", f"{base}.1",
+                           (f"stage{s}", f"fuse{i}_{j}"))
+                elif j < i:
+                    for k in range(i - j):
+                        convbn(f"{base}.{k}.0", f"{base}.{k}.1",
+                               (f"stage{s}", f"fuse{i}_{j}_{k}"))
+    convbn("last_layer.0", "last_layer.1", ("head",))
+    p_up.append((("cls", "kernel"), _conv_to_hwio(sd["last_layer.3.weight"])))
+    p_up.append((("cls", "bias"), sd["last_layer.3.bias"]))
     return _apply(params, batch_stats, p_up, s_up)
 
 
@@ -292,8 +407,10 @@ PORTERS = {
     "OCRNet": port_ocrnet,
     "DeepLabv3": port_deeplabv3,
     "DeepLabv3Plus": port_deeplabv3plus,
-    "UPerNet": port_encdec_upernet,
-    "EncDec": port_encdec_upernet,
+    "UPerNet": port_encdec,
+    "EncDec": port_encdec,
+    "PointRend": port_encdec_pointrend,
+    "HRNetv2": port_hrnet,
 }
 
 

@@ -205,3 +205,50 @@ def test_balanced_concat_and_video_files():
     })
     ex = excluded_frames_from_df(df, [1, 2])
     assert ex == {1: [10], 2: [30]}
+
+
+def test_split_permutation_search():
+    """5-fold video-permutation search (data_class_analysis.py:175-366):
+    candidates are valid 25-video permutations, the evaluator computes the
+    documented fold statistics, and the search loop runs."""
+    import sys
+    sys.path.insert(0, str(REPO / "tools"))
+    from class_analysis import (evaluate_permutation, permutation_candidate,
+                                split_search)
+    from miccai2021_cataract_semantic_segmentation_tpu.data.dataframe import (
+        load_frame_table)
+    df = load_frame_table()  # the vendored 4,670-row table
+    rng = np.random.default_rng(0)
+    perm = permutation_candidate(rng)
+    assert sorted(perm) == list(range(25))
+    pct, closeness, passing = evaluate_permutation(df, perm)
+    assert pct.shape == (5,)
+    assert all(0.5 < p < 1.0 for p in pct)          # ~20/5 video folds
+    assert closeness[2].shape == (5, 18)
+    assert isinstance(passing, (bool, np.bool_))
+    # loose thresholds -> candidates should pass (search loop exercised)
+    res = split_search(df, tries=5, thresholds=(0.5, 1.0, 50.0, 25.0),
+                       seed=0, verbose=False)
+    assert len(res) == 5
+    assert all(sorted(r["permutation"]) == list(range(25)) for r in res)
+
+
+def test_label_overlay_checker(tmp_path):
+    """data_checker port (data_class_analysis.py:369-387): writes blended
+    overlay PNGs with blacked-out class boundaries."""
+    import sys
+    sys.path.insert(0, str(REPO / "tools"))
+    from class_analysis import check_labels
+    from PIL import Image
+    (tmp_path / "v").mkdir()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    lbl = rng.integers(0, 36, (32, 48), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "v" / "img.png")
+    Image.fromarray(lbl).save(tmp_path / "v" / "lbl.png")
+    df = pd.DataFrame({"img_path": ["v/img.png"], "lbl_path": ["v/lbl.png"]})
+    written = check_labels(df, str(tmp_path), task=2)
+    assert written == ["img.png"]
+    out = np.asarray(Image.open(tmp_path / "comb_images" / "img.png"))
+    assert out.shape == (32, 48, 3)
+    assert (out == 0).all(axis=-1).any()  # boundary pixels blacked out

@@ -149,3 +149,48 @@ def test_encdec_upernet_port_parity():
     out = _port_and_apply("EncDec", {"model": "EncDec", **cfg}, tm,
                           x.numpy(), x64=True)
     _assert_close(pred_t, out["logits"], "EncDec-UPerNet logits")
+
+
+def test_hrnet_port_parity():
+    refs = load_reference_models()
+    tm = refs["HRNetv2"]({}, 2)
+    randomize_module(tm, 5).eval().double()
+    x = torch.randn(1, 3, 96, 128,
+                    generator=torch.Generator().manual_seed(13)).double()
+    with torch.no_grad():
+        pred_t = tm(x)
+    out = _port_and_apply("HRNetv2", {"model": "HRNetv2"}, tm, x.numpy(),
+                          x64=True)
+    _assert_close(pred_t, out["logits"], "HRNetv2 logits")
+
+
+def test_encdec_pointrend_port_parity():
+    """Eval-mode PointRend: coarse UPerNet + two deterministic subdivision
+    rounds (top-k uncertain points, grid_sample features, MLP refinement) —
+    full-output parity proves the porter AND the sampling semantics."""
+    refs = load_reference_models()
+    cfg = {"encoder": {"model": "ResNet50", "pretrained": False},
+           "decoder": {"model": "PointRend", "pr_train_num_pts": 64,
+                       "pr_subdivision_num_pts": 49,
+                       # PointRend's coarse head must stay at the 1/4 grid
+                       # (PointRend.py:37 comment; UPerNet.py:143-144)
+                       "interpolate_result_up": False}}
+    tm = refs["EncDec"](dict(cfg), 2)
+    randomize_module(tm, 6).eval().double()
+    x = torch.randn(1, 3, 96, 128,
+                    generator=torch.Generator().manual_seed(17)).double()
+    # the reference's pointrend_utils creates coordinate tensors with the
+    # torch default dtype; switch it to double for the f64 oracle run
+    torch.set_default_dtype(torch.float64)
+    try:
+        with torch.no_grad():
+            deep_t, pred_t = tm(x)
+    finally:
+        torch.set_default_dtype(torch.float32)
+    out = _port_and_apply(
+        "EncDec",
+        {"model": "EncDec", "encoder": {"model": "ResNet50"},
+         "decoder": {"model": "PointRend", "pr_train_num_pts": 64,
+                     "pr_subdivision_num_pts": 49}},
+        tm, x.numpy(), x64=True)
+    _assert_close(pred_t, out["logits"], "EncDec-PointRend eval logits")

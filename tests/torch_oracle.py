@@ -280,7 +280,26 @@ def load_reference_models() -> dict:
     for name in ("ResNet18", "ResNet34", "ResNet50", "ResNet101"):
         setattr(fake_models, name, getattr(res, name))
     fake_models.UPerNet = upn.UPerNet
+    # PointRend must be visible in the models namespace BEFORE EncDec's
+    # `from models import *` snapshot (EncDec.py:13-14 globals() lookup)
+    pointrend = importlib.import_module("models.PointRend")
+    fake_models.PointRend = pointrend.PointRend
+    # pointrend_utils hard-codes dtype=torch.float for the subdivision
+    # coords (pointrend_utils.py:145), which breaks the f64 oracle runs —
+    # rebind with a dtype-following wrapper (values identical)
+    _orig_grid_pts = pointrend.get_uncertain_point_coords_on_grid
+
+    def _grid_pts(uncertainty_map, num_points):
+        idx, coords = _orig_grid_pts(uncertainty_map, num_points)
+        return idx, coords.to(uncertainty_map.dtype)
+
+    pointrend.get_uncertain_point_coords_on_grid = _grid_pts
     encdec = importlib.import_module("models.EncDec")
+    # the reference HRNetv2 uses the np.int alias removed in numpy>=1.24
+    # (HRNetv2.py:360, in __init__) — restore it for the test process
+    import numpy as _np
+    _np.int = int
+    hrnet = importlib.import_module("models.HRNetv2")
 
     _loaded = {
         "OCRNet": ocr.OCRNet,
@@ -288,6 +307,8 @@ def load_reference_models() -> dict:
         "DeepLabv3Plus": dlv3p.DeepLabv3Plus,
         "UPerNet": upn.UPerNet,
         "EncDec": encdec.EncDec,
+        "HRNetv2": hrnet.HRNetv2,
+        "PointRend": pointrend.PointRend,
         "CLASS_INFO": defaults.CLASS_INFO,
     }
     return _loaded
