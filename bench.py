@@ -54,6 +54,7 @@ def main():
     loss_fn = build_loss({
         "name": "TwoScaleLoss",
         "lovasz_impl": "bucket",
+        "lovasz_buckets": 1024,   # paired-row kernel (PERF.md section 4)
         "interm": {"name": "LovaszSoftmax", "weight": 0.4},
         "final": {"name": "LovaszSoftmax", "weight": 1.0},
     }, task)

@@ -84,7 +84,8 @@ def build_two_scale(cfg: dict, task: int):
                     fused_two_scale_bucket_lovasz_s8)
                 return fused_two_scale_bucket_lovasz_s8(
                     interm_s8, final_s8, labels, w_interm, w_final,
-                    classes_to_ignore=ign)
+                    classes_to_ignore=ign,
+                    n_buckets=int(cfg.get("lovasz_buckets", 2048)))
             h, w = labels.shape[-2:]
             if interm_logits.shape[1:3] != (h, w):
                 interm_logits = resize_bilinear(interm_logits, (h, w),

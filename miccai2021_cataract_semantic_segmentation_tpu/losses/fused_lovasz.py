@@ -20,9 +20,13 @@ relayout (19 ms). This module removes all of it:
     dL/dprobs (R, P) with the |fg - p| sign folded in; softmax and upsample
     backward are ordinary XLA matmuls in the same layout.
 
-Bucket semantics are identical to losses/bucket_lovasz.py (B = HI·LO = 2048,
-mean-error within buckets, fg-first tie order), so the sort-vs-bucket
-tolerance tests transfer. Reference semantics: losses/TwoScaleLoss.py:43-52
+Bucket semantics are identical to losses/bucket_lovasz.py (mean-error
+within buckets, fg-first tie order), so the sort-vs-bucket tolerance tests
+transfer. The bucket count is a config dial (`lovasz_buckets`, default
+2048): histogram cost is provably proportional to B, and at B <= 1024 the
+columns are narrow enough to pack both scales of a class into one full
+128-wide MXU pass (see _nchw_fwd_kernel) — the flagship recipe ships with
+1024 (measured deviation vs the exact sort path ~4e-6, same as 2048). Reference semantics: losses/TwoScaleLoss.py:43-52
 + losses/LovaszSoftmax.py:34-95 evaluated on align_corners=True upsampled
 logits (models/OCR.py:128-138).
 """
@@ -331,12 +335,20 @@ def _softmax_rows(x):
 
 
 def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
-                     *, n_cls, bh, w, w_real):
+                     *, n_cls, bh, w, w_real, hi_n, lo_n):
     """pscr: (2C, K) f32 scratch holding both scales' flattened probs, so the
     per-class work is ONE fori_loop body (compile-time critical: a 34-way
     Python unroll of the one-hot+matmul body takes Mosaic >10 min).
     `w` is the lane-padded width; lanes >= w_real are pad and are excluded
-    from the histogram exactly (their bucket id is forced to -1)."""
+    from the histogram exactly (their bucket id is forced to -1).
+
+    Bucket split (hi_n, lo_n): columns per row are 4*lo_n. When both
+    2*hi_n <= 128 and 8*lo_n <= 128 (e.g. 1024 buckets as 64x16), the TWO
+    SCALES of each class are packed into ONE 128-wide MXU pass — their
+    one-hots stack along M and their column blocks along N; the diagonal
+    blocks of the product are the two histograms and the off-diagonal
+    garbage costs nothing because the systolic array is 128x128 anyway.
+    This halves the matmul passes vs one-row-per-pass."""
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -344,6 +356,9 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     k = bh * w
+    n_b = hi_n * lo_n
+    cols = 4 * lo_n
+    paired = 2 * hi_n <= 128 and 2 * cols <= 128
     sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
@@ -356,37 +371,59 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
     if w_real != w:
         kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
         inlane = kio % w < w_real                        # (1, K) pad mask
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, k), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, k), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
 
-    def row(r, _):
-        cls = jax.lax.rem(r, n_cls)
+    def one_hots(r, fg, fg_i):
         prow = pscr[pl.ds(r, 1), :] * valid              # (1, K)
-        fg = lbl == cls
         e = jnp.abs(fg.astype(jnp.float32) - prow)
-        bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
+        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
         if w_real != w:
             bid = jnp.where(inlane, bid, -1)
-        hi = jnp.where(bid < 0, -1, bid // _LO)
-        comb = jnp.where(bid < 0, -1,
-                         bid % _LO + _LO * fg.astype(jnp.int32))
+        hi = jnp.where(bid < 0, -1, bid // lo_n)
+        comb = jnp.where(bid < 0, -1, bid % lo_n + lo_n * fg_i)
         a2 = (hi == iota_h).astype(jnp.bfloat16)         # (HI, K)
         mask = comb == iota_c                            # (2LO, K)
         b2t = jnp.concatenate(
             [mask.astype(jnp.bfloat16),
              jnp.where(mask, e, 0.0).astype(jnp.bfloat16)], axis=0)
-        acc = jax.lax.dot_general(
-            a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (HI, 4LO)
-        out_ref[pl.ds(r, 1), :, :] += acc[None]
-        return 0
+        return a2, b2t                                   # (HI, K), (4LO, K)
 
-    jax.lax.fori_loop(0, 2 * n_cls, row, 0)
+    if paired:
+        def pair(c, _):
+            fg = lbl == c
+            fg_i = fg.astype(jnp.int32)
+            a_i, b_i = one_hots(c, fg, fg_i)
+            a_f, b_f = one_hots(c + n_cls, fg, fg_i)
+            a2 = jnp.concatenate([a_i, a_f], axis=0)     # (2HI, K)
+            b2t = jnp.concatenate([b_i, b_f], axis=0)    # (2*4LO, K)
+            acc = jax.lax.dot_general(
+                a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (2HI, 2*4LO)
+            out_ref[pl.ds(c, 1), :, :] += acc[:hi_n, :cols][None]
+            out_ref[pl.ds(c + n_cls, 1), :, :] += acc[hi_n:, cols:][None]
+            return 0
+
+        jax.lax.fori_loop(0, n_cls, pair, 0)
+    else:
+        def row(r, _):
+            cls = jax.lax.rem(r, n_cls)
+            fg = lbl == cls
+            a2, b2t = one_hots(r, fg, fg.astype(jnp.int32))
+            acc = jax.lax.dot_general(
+                a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (HI, 4LO)
+            out_ref[pl.ds(r, 1), :, :] += acc[None]
+            return 0
+
+        jax.lax.fori_loop(0, 2 * n_cls, row, 0)
 
 
 def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
-                     pscr, dscr, sscr, lscr, *, n_cls, bh, w, w_real):
+                     pscr, dscr, sscr, lscr, *, n_cls, bh, w, w_real,
+                     hi_n, lo_n):
     k = bh * w
+    n_b = hi_n * lo_n
     sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
@@ -399,17 +436,17 @@ def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
     if w_real != w:
         kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
         valid = valid * (kio % w < w_real).astype(jnp.float32)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, k), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, k), 0)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
 
     def row(r, _):
         cls = jax.lax.rem(r, n_cls)
         prow = pscr[pl.ds(r, 1), :] * valid
         fg = lbl == cls
         e = jnp.abs(fg.astype(jnp.float32) - prow)
-        bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
-        hi = bid // _LO
-        comb = bid % _LO + _LO * fg.astype(jnp.int32)
+        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
+        hi = bid // lo_n
+        comb = bid % lo_n + lo_n * fg.astype(jnp.int32)
         oh_hi = (hi == iota_h).astype(jnp.bfloat16)      # (HI, K)
         tbl = tbl_ref[r, :, :].astype(jnp.bfloat16)      # (2LO, HI)
         tmp = jax.lax.dot_general(
@@ -433,12 +470,22 @@ def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
             dref[0, :, j, :] = dscr[lo_r:hi_r, pl.ds(j * w, w)]
 
 
+def _bucket_split(n_buckets: int) -> tuple[int, int]:
+    """(hi, lo) for a bucket count; hi one-hot rows, 4*lo histogram cols."""
+    hi = 128 if n_buckets > 2048 else 64
+    lo = n_buckets // hi
+    if hi * lo != n_buckets or lo < 1 or 4 * lo > 128:
+        raise ValueError(f"unsupported lovasz bucket count {n_buckets}")
+    return hi, lo
+
+
 def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
-                    w_real: int):
+                    w_real: int, n_buckets: int):
+    hi_n, lo_n = _bucket_split(n_buckets)
     n, c, h, w = logits_i.shape
     out = pl.pallas_call(
         functools.partial(_nchw_fwd_kernel, n_cls=n_cls, bh=bh, w=w,
-                          w_real=w_real),
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
@@ -448,29 +495,30 @@ def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
             pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2 * c, _HI, 4 * _LO), lambda i, j: (0, 0, 0),
+        out_specs=pl.BlockSpec((2 * c, hi_n, 4 * lo_n), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * c, _HI, 4 * _LO), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2 * c, hi_n, 4 * lo_n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2 * c, bh * w), jnp.float32),
                         pltpu.VMEM((c, bh, w), jnp.float32),
                         pltpu.VMEM((1, bh * w), jnp.int32)],
         interpret=_use_interpret(),
     )(labels, logits_i, logits_f)
     r = 2 * c
-    out = out.reshape(r, _HI, 4, _LO)
+    out = out.reshape(r, hi_n, 4, lo_n)
     n_bg, n_fg = out[:, :, 0], out[:, :, 1]
     se_bg, se_fg = out[:, :, 2], out[:, :, 3]
-    return jnp.stack([n_fg.reshape(r, N_BUCKETS), n_bg.reshape(r, N_BUCKETS),
-                      se_fg.reshape(r, N_BUCKETS), se_bg.reshape(r, N_BUCKETS)],
+    return jnp.stack([n_fg.reshape(r, n_buckets), n_bg.reshape(r, n_buckets),
+                      se_fg.reshape(r, n_buckets), se_bg.reshape(r, n_buckets)],
                      axis=-1)
 
 
 def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
-               w_real: int):
+               w_real: int, n_buckets: int):
+    hi_n, lo_n = _bucket_split(n_buckets)
     n, c, h, w = logits_i.shape
     return pl.pallas_call(
         functools.partial(_nchw_bwd_kernel, n_cls=n_cls, bh=bh, w=w,
-                          w_real=w_real),
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
@@ -479,7 +527,7 @@ def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * c, 2 * _LO, _HI), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((2 * c, 2 * lo_n, hi_n), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -500,9 +548,9 @@ def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
     )(labels, logits_i, logits_f, tbl)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def lovasz_two_scale_nchw(logits_i, logits_f, labels, n_cls: int, bh: int,
-                          w_real: int):
+                          w_real: int, n_buckets: int = 2048):
     """Two-scale bucket-Lovász core on (N, C, H, W_pad) f32 logit grids.
 
     `labels` (N, H, W_pad) i32 with ignore pixels pre-folded to -1 and pad
@@ -510,24 +558,28 @@ def lovasz_two_scale_nchw(logits_i, logits_f, labels, n_cls: int, bh: int,
     Returns (per_row (2C,), gts (2C,)) — rows [0, C) are the interm scale,
     [C, 2C) the final scale."""
     per_row, gts, _, _ = _losses_and_tables(
-        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real))
+        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real,
+                        n_buckets))
     return per_row, gts
 
 
-def _nchw_fwd(logits_i, logits_f, labels, n_cls, bh, w_real):
+def _nchw_fwd(logits_i, logits_f, labels, n_cls, bh, w_real, n_buckets):
     per_row, gts, g_fg, g_bg = _losses_and_tables(
-        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real))
+        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real,
+                        n_buckets))
     return (per_row, gts), (logits_i, logits_f, labels, g_fg, g_bg)
 
 
-def _nchw_bwd(n_cls, bh, w_real, res, cts):
+def _nchw_bwd(n_cls, bh, w_real, n_buckets, res, cts):
     logits_i, logits_f, labels, g_fg, g_bg = res
+    hi_n, lo_n = _bucket_split(n_buckets)
     ct = cts[0]
     r = g_fg.shape[0]
-    gf = (g_fg * ct[:, None]).reshape(r, _HI, _LO)
-    gb = (g_bg * ct[:, None]).reshape(r, _HI, _LO)
+    gf = (g_fg * ct[:, None]).reshape(r, hi_n, lo_n)
+    gb = (g_bg * ct[:, None]).reshape(r, hi_n, lo_n)
     tbl = jnp.concatenate([gb, gf], axis=-1).transpose(0, 2, 1)  # (R, 2LO, HI)
-    dli, dlf = _nchw_grad(logits_i, logits_f, labels, tbl, n_cls, bh, w_real)
+    dli, dlf = _nchw_grad(logits_i, logits_f, labels, tbl, n_cls, bh, w_real,
+                          n_buckets)
     return dli, dlf, None
 
 
@@ -566,7 +618,8 @@ def upsample_nchw(logits_small: jnp.ndarray, out_hw: tuple[int, int],
 
 def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
                                      labels, w_interm: float, w_final: float,
-                                     classes_to_ignore: int | None = None):
+                                     classes_to_ignore: int | None = None,
+                                     n_buckets: int = 2048):
     """TwoScaleLoss(Lovász, Lovász) evaluated at full label resolution from
     stride-8 logits, with the align_corners=True upsample fused into the
     transposed-layout pipeline (reference: models/OCR.py:128-138 upsamples
@@ -583,7 +636,7 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
     if w_pad != w:
         lbl = jnp.pad(lbl, ((0, 0), (0, 0), (0, w_pad - w)),
                       constant_values=-1)
-    per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bh, w)
+    per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bh, w, n_buckets)
     present = (gts > 0).astype(jnp.float32)
     pr_i, pr_f = present[:c], present[c:]
     loss_i = jnp.sum(per_row[:c] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)

@@ -115,3 +115,24 @@ def test_fused_under_jit_and_odd_width():
     got = jax.jit(lambda a, b, l: fused_two_scale_bucket_lovasz_s8(
         a, b, l, 0.4, 1.0))(li, lf, lbl)
     assert abs(float(got) - float(ref)) < 2e-3
+
+
+@pytest.mark.parametrize("n_buckets", [512, 1024, 4096])
+def test_fused_bucket_counts(shapes, n_buckets):
+    """`lovasz_buckets` dial: every supported split (incl. the paired-row
+    kernel at <=1024 buckets and the 128-row split at 4096) stays within
+    the O(1/B) envelope of the sort oracle."""
+    li, lf, lbl, (H, W), c = shapes
+    ref = fused_two_scale_lovasz(
+        resize_bilinear(li, (H, W), True), resize_bilinear(lf, (H, W), True),
+        lbl, 0.4, 1.0, impl="sort")
+    got = fused_two_scale_bucket_lovasz_s8(li, lf, lbl, 0.4, 1.0,
+                                           n_buckets=n_buckets)
+    assert abs(float(got) - float(ref)) < 4e-3
+    g = jax.grad(lambda a: fused_two_scale_bucket_lovasz_s8(
+        a, lf, lbl, 0.4, 1.0, n_buckets=n_buckets))(li)
+    gs = jax.grad(lambda a: fused_two_scale_lovasz(
+        resize_bilinear(a, (H, W), True), resize_bilinear(lf, (H, W), True),
+        lbl, 0.4, 1.0, impl="sort"))(li)
+    a, b = np.asarray(g).ravel(), np.asarray(gs).ravel()
+    assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.999
