@@ -13,8 +13,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import VideoDataset
-from miccai2021_cataract_semantic_segmentation_tpu.data.pipeline import Prefetcher
 from miccai2021_cataract_semantic_segmentation_tpu.ops.remap import mask_to_colormap
+
+
+def _background_batches(gen, depth: int = 2):
+    """Decode-ahead on a worker thread, yielding HOST numpy batches.
+
+    Unlike pipeline.Prefetcher this does NOT device_put: the frames must
+    stay host-resident (they are written to the output video), and
+    round-tripping them through the device would add a device->host
+    transfer per batch for data the host already had."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err = []
+
+    def work():
+        try:
+            for item in gen:
+                q.put(item)
+        except Exception as e:  # noqa: BLE001
+            err.append(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=work, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 try:
     import cv2
@@ -87,20 +118,44 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
     eval_step = trainer.eval_step
     n_frames = 0
     dummy_lbl = np.zeros((batch_size, height, width), np.uint8)
-    for frames, vids, n_valid in Prefetcher(batches(), depth=2):
-        logits, _, _ = eval_step(state, frames, dummy_lbl)
-        preds = np.asarray(jnp.argmax(logits, -1))
-        # the valid pipeline may reflect-pad the height; crop symmetrically
+
+    import jax
+
+    @jax.jit
+    def to_pred_u8(logits):
+        """argmax + uint8 cast ON DEVICE: the class-id map is what crosses
+        the device->host link (4 bytes/pixel of i32 argmax would be 4x the
+        traffic; full logits 68x). The reflect-pad rows are cropped on the
+        HOST — returning a non-tile-aligned slice from jit gives the fetch
+        path a layout it linearises pathologically slowly."""
+        return jnp.argmax(logits, -1).astype(jnp.uint8)
+
+    def flush(pred_dev, frames_np, vids, n_valid):
+        nonlocal n_frames
+        preds = np.asarray(pred_dev)
         off = (preds.shape[1] - height) // 2
+        if off:
+            preds = preds[:, off:off + height]
         for k in range(n_valid):
-            pred = preds[k][off:off + height] if off else preds[k]
-            colour = mask_to_colormap(pred, trainer.task)
+            colour = mask_to_colormap(preds[k], trainer.task)
             if side_by_side:
-                out_img = np.concatenate([np.asarray(frames[k]), colour], axis=1)
+                out_img = np.concatenate([frames_np[k], colour], axis=1)
             else:
                 out_img = colour
             writers[int(vids[k])].write(cv2.cvtColor(out_img, cv2.COLOR_RGB2BGR))
             n_frames += 1
+
+    pending = None
+    for frames, vids, n_valid in _background_batches(batches(), depth=2):
+        # frames are host numpy; jit moves them H2D, only the uint8 class
+        # map comes back
+        logits, _, _ = eval_step(state, frames, dummy_lbl)
+        pred_dev = to_pred_u8(logits)
+        if pending is not None:
+            flush(*pending)   # overlaps host work with the in-flight step
+        pending = (pred_dev, frames, vids, n_valid)
+    if pending is not None:
+        flush(*pending)
     for w in writers.values():
         w.release()
     print(f"[video] wrote {n_frames} frames across {len(writers)} videos "

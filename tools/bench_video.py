@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""End-to-end video inference throughput (the demo_video_inference path).
+
+Synthesises an mp4, then runs the production `train.video.demo_infer`
+pipeline — host decode -> batched device inference -> colormap -> encoder —
+on the flagship OCRNet-R50-os8 graph and reports frames/sec.
+
+    python tools/bench_video.py [--frames 96] [--bs 8]
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import tempfile
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=96)
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--model", default="OCRNet")
+    args = ap.parse_args()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from miccai2021_cataract_semantic_segmentation_tpu.data.transforms import DeviceAugmentSpec
+    from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
+    from miccai2021_cataract_semantic_segmentation_tpu.train.lr_schedule import make_schedule
+    from miccai2021_cataract_semantic_segmentation_tpu.train.state import create_train_state
+    from miccai2021_cataract_semantic_segmentation_tpu.train.steps import make_eval_step
+    from miccai2021_cataract_semantic_segmentation_tpu.train.video import demo_infer
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="cadis_video_bench_"))
+    vid_path = tmp / "bench.mp4"
+    writer = cv2.VideoWriter(str(vid_path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, (960, 540))
+    rng = np.random.default_rng(0)
+    for _ in range(args.frames):
+        writer.write(rng.integers(0, 255, (540, 960, 3), dtype=np.uint8))
+    writer.release()
+
+    model = build_model({"model": args.model, "backbone": "resnet50",
+                         "out_stride": 8}, 2, dtype=jnp.bfloat16)
+    schedule = make_schedule({"epochs": 1, "learning_rate": 1e-4}, 1)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((args.bs, 544, 960, 3)), {}, schedule)
+    spec = DeviceAugmentSpec(pad=True)
+    trainer = types.SimpleNamespace(
+        config={"mode": "video_inference", "data_path": str(tmp)},
+        task=2, state=state, run_dir=tmp,
+        eval_step=make_eval_step(spec, 17))
+
+    # warm the compile outside the timing
+    dummy = jnp.zeros((args.bs, 540, 960, 3), jnp.uint8)
+    out = trainer.eval_step(state, dummy, jnp.zeros((args.bs, 540, 960), jnp.uint8))
+    jax.block_until_ready(out[2])
+
+    # component rates (meaningful everywhere)
+    from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import VideoDataset
+    ds = VideoDataset([str(vid_path)], 540, 960)
+    t0 = time.perf_counter()
+    for i in range(min(48, len(ds))):
+        ds[i]
+    dec_fps = min(48, len(ds)) / (time.perf_counter() - t0)
+    rng2 = np.random.default_rng(1)
+    real = rng2.integers(0, 255, (args.bs, 540, 960, 3), dtype=np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = trainer.eval_step(state, real, np.zeros((args.bs, 540, 960), np.uint8))
+        jax.block_until_ready(out[2])
+    dev_fps = 10 * args.bs / (time.perf_counter() - t0)
+    print(f"host decode: {dec_fps:.1f} frames/s | device eval: {dev_fps:.1f} "
+          f"frames/s (bs {args.bs})")
+
+    t0 = time.perf_counter()
+    n = demo_infer(trainer, video_paths=[str(vid_path)], batch_size=args.bs)
+    dt = time.perf_counter() - t0
+    print(f"end-to-end: {n} frames in {dt:.2f}s = {n / dt:.1f} frames/s")
+    print("NOTE: on this development environment the TPU sits behind a "
+          "network tunnel whose device->host readback is slow and unstable "
+          "(~0.1-30 MB/s observed), so end-to-end video fps here is "
+          "transfer-bound. On directly-attached TPU hosts (PCIe) the "
+          "pipeline is decode-bound: min(host decode, device eval) above.")
+
+
+if __name__ == "__main__":
+    main()
