@@ -22,6 +22,27 @@ from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (  #
 )
 
 
+def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels):
+    """Route a single-scale bucket Lovász through the fused NCHW kernels
+    when the model exposes its pre-upsample logits (losses/fused_lovasz.py).
+    Returns None when ineligible (caller falls back to the generic path)."""
+    if cfg.get("lovasz_impl") != "bucket" or cfg.get("per_image", False):
+        return None
+    s8, ac = outputs.get("logits_s8"), True
+    if s8 is None:
+        s8, ac = outputs.get("logits_s8_acf"), False
+    if s8 is None:
+        return None
+    from miccai2021_cataract_semantic_segmentation_tpu.losses.fused_lovasz import (
+        fused_bucket_lovasz_s8)
+    return fused_bucket_lovasz_s8(
+        s8, labels,
+        classes_to_consider=cfg.get("classes_to_consider", "present"),
+        classes_to_ignore=cfg.get("classes_to_ignore"),
+        n_buckets=int(cfg.get("lovasz_buckets", 2048)),
+        align_corners=ac)
+
+
 def _single_loss(name: str, cfg: dict, task: int):
     """A (logits, labels) -> scalar closure for one named loss."""
     ign = taxonomy.ignore_index(task)
@@ -189,11 +210,19 @@ def build_loss(loss_config: dict, task: int):
                     # traced value inside the jitted train step, so the gate
                     # must be jnp.where, not Python `if` (which raises
                     # TracerBoolConversionError under jit).
-                    v = terms[lname](outputs["logits"], labels)
+                    v = (_maybe_fused_single_lovasz(
+                            cfg.get(lname, cfg), outputs, labels)
+                         if lname == "LovaszSoftmax" else None)
+                    if v is None:
+                        v = terms[lname](outputs["logits"], labels)
                     v = jnp.where(jnp.asarray(epoch) < dc_off_at,
                                   jnp.float32(0.0), v)
                 else:
-                    v = terms[lname](outputs["logits"], labels)
+                    v = (_maybe_fused_single_lovasz(
+                            cfg.get(lname, cfg), outputs, labels)
+                         if lname == "LovaszSoftmax" else None)
+                    if v is None:
+                        v = terms[lname](outputs["logits"], labels)
                 v = v * weight
                 vals[lname] = v
                 total = total + v
@@ -218,7 +247,10 @@ def build_loss(loss_config: dict, task: int):
     single = _single_loss(name, cfg, task)
 
     def single_fn(outputs, labels, epoch=None):
-        v = single(outputs["logits"], labels)
+        v = (_maybe_fused_single_lovasz(cfg, outputs, labels)
+             if name == "LovaszSoftmax" else None)
+        if v is None:
+            v = single(outputs["logits"], labels)
         return v, {name: v}
 
     return single_fn

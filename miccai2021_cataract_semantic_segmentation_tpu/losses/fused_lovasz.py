@@ -642,3 +642,248 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
     loss_i = jnp.sum(per_row[:c] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
     loss_f = jnp.sum(per_row[c:] * pr_f) / jnp.maximum(jnp.sum(pr_f), 1.0)
     return w_interm * loss_i + w_final * loss_f
+
+
+# ---------------------------------------------------------------------------
+# Single-scale NCHW kernels (DeepLabv3/v3+/UPerNet recipes): same bucket
+# machinery, one logits grid. Pairing packs two CLASSES per 128-wide MXU
+# pass (any two rows pair — unlike the two-scale kernel they don't share a
+# foreground mask, so each row computes its own).
+# ---------------------------------------------------------------------------
+
+def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
+                      *, n_cls, bh, w, w_real, hi_n, lo_n):
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    k = bh * w
+    n_b = hi_n * lo_n
+    cols = 4 * lo_n
+    paired = 2 * hi_n <= 128 and 2 * cols <= 128
+    sscr[...] = _softmax_rows(lg_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+        lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
+    lbl = lscr[0:1, :]
+    valid = (lbl >= 0).astype(jnp.float32)
+    if w_real != w:
+        kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        inlane = kio % w < w_real
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
+
+    def one_hots(r):
+        prow = pscr[pl.ds(r, 1), :] * valid
+        fg = lbl == r
+        e = jnp.abs(fg.astype(jnp.float32) - prow)
+        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
+        if w_real != w:
+            bid = jnp.where(inlane, bid, -1)
+        hi = jnp.where(bid < 0, -1, bid // lo_n)
+        comb = jnp.where(bid < 0, -1,
+                         bid % lo_n + lo_n * fg.astype(jnp.int32))
+        a2 = (hi == iota_h).astype(jnp.bfloat16)
+        mask = comb == iota_c
+        b2t = jnp.concatenate(
+            [mask.astype(jnp.bfloat16),
+             jnp.where(mask, e, 0.0).astype(jnp.bfloat16)], axis=0)
+        return a2, b2t
+
+    def single(r):
+        a2, b2t = one_hots(r)
+        acc = jax.lax.dot_general(
+            a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[pl.ds(r, 1), :, :] += acc[None]
+
+    if paired and n_cls >= 2:
+        def pair(p, _):
+            r0 = 2 * p
+            a0, b0 = one_hots(r0)
+            a1, b1 = one_hots(r0 + 1)
+            acc = jax.lax.dot_general(
+                jnp.concatenate([a0, a1], axis=0),
+                jnp.concatenate([b0, b1], axis=0),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[pl.ds(r0, 1), :, :] += acc[:hi_n, :cols][None]
+            out_ref[pl.ds(r0 + 1, 1), :, :] += acc[hi_n:, cols:][None]
+            return 0
+
+        jax.lax.fori_loop(0, n_cls // 2, pair, 0)
+        if n_cls % 2:
+            single(n_cls - 1)
+    else:
+        def row(r, _):
+            single(r)
+            return 0
+
+        jax.lax.fori_loop(0, n_cls, row, 0)
+
+
+def _nchw1_bwd_kernel(lbl_ref, lg_ref, tbl_ref, dlg_ref, pscr, dscr, sscr,
+                      lscr, *, n_cls, bh, w, w_real, hi_n, lo_n):
+    k = bh * w
+    n_b = hi_n * lo_n
+    sscr[...] = _softmax_rows(lg_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+        lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
+    lbl = lscr[0:1, :]
+    valid = (lbl >= 0).astype(jnp.float32)
+    if w_real != w:
+        kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        valid = valid * (kio % w < w_real).astype(jnp.float32)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
+
+    def row(r, _):
+        prow = pscr[pl.ds(r, 1), :] * valid
+        fg = lbl == r
+        e = jnp.abs(fg.astype(jnp.float32) - prow)
+        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
+        hi = bid // lo_n
+        comb = bid % lo_n + lo_n * fg.astype(jnp.int32)
+        oh_hi = (hi == iota_h).astype(jnp.bfloat16)
+        tbl = tbl_ref[r, :, :].astype(jnp.bfloat16)
+        tmp = jax.lax.dot_general(
+            tbl, oh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        de = jnp.sum(jnp.where(comb == iota_c, tmp, 0.0), axis=0,
+                     keepdims=True)
+        dscr[pl.ds(r, 1), :] = jnp.where(fg, -de, de) * valid
+        return 0
+
+    jax.lax.fori_loop(0, n_cls, row, 0)
+
+    pf = pscr[0:n_cls, :]
+    dp = dscr[0:n_cls, :]
+    s = jnp.sum(dp * pf, axis=0, keepdims=True)          # softmax VJP
+    dscr[0:n_cls, :] = pf * (dp - s)
+    for j in range(bh):
+        dlg_ref[0, :, j, :] = dscr[0:n_cls, pl.ds(j * w, w)]
+
+
+def _nchw1_histogram(logits, labels, bh: int, w_real: int, n_buckets: int):
+    hi_n, lo_n = _bucket_split(n_buckets)
+    n, c, h, w = logits.shape
+    out = pl.pallas_call(
+        functools.partial(_nchw1_fwd_kernel, n_cls=c, bh=bh, w=w,
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, hi_n, 4 * lo_n), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, hi_n, 4 * lo_n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, bh * w), jnp.float32),
+                        pltpu.VMEM((c, bh, w), jnp.float32),
+                        pltpu.VMEM((1, bh * w), jnp.int32)],
+        interpret=_use_interpret(),
+    )(labels, logits)
+    out = out.reshape(c, hi_n, 4, lo_n)
+    n_bg, n_fg = out[:, :, 0], out[:, :, 1]
+    se_bg, se_fg = out[:, :, 2], out[:, :, 3]
+    return jnp.stack([n_fg.reshape(c, n_buckets), n_bg.reshape(c, n_buckets),
+                      se_fg.reshape(c, n_buckets), se_bg.reshape(c, n_buckets)],
+                     axis=-1)
+
+
+def _nchw1_grad(logits, labels, tbl, bh: int, w_real: int, n_buckets: int):
+    hi_n, lo_n = _bucket_split(n_buckets)
+    n, c, h, w = logits.shape
+    return pl.pallas_call(
+        functools.partial(_nchw1_bwd_kernel, n_cls=c, bh=bh, w=w,
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * lo_n, hi_n), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(logits.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, bh * w), jnp.float32),
+                        pltpu.VMEM((c, bh * w), jnp.float32),
+                        pltpu.VMEM((c, bh, w), jnp.float32),
+                        pltpu.VMEM((1, bh * w), jnp.int32)],
+        interpret=_use_interpret(),
+    )(labels, logits, tbl)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def lovasz_single_nchw(logits, labels, bh: int, w_real: int,
+                       n_buckets: int = 2048):
+    """Single-scale bucket-Lovász core on an (N, C, H, W_pad) f32 logit grid.
+    Returns (per_class (C,), gts (C,))."""
+    per_class, gts, _, _ = _losses_and_tables(
+        _nchw1_histogram(logits, labels, bh, w_real, n_buckets))
+    return per_class, gts
+
+
+def _nchw1_fwd(logits, labels, bh, w_real, n_buckets):
+    per_class, gts, g_fg, g_bg = _losses_and_tables(
+        _nchw1_histogram(logits, labels, bh, w_real, n_buckets))
+    return (per_class, gts), (logits, labels, g_fg, g_bg)
+
+
+def _nchw1_bwd(bh, w_real, n_buckets, res, cts):
+    logits, labels, g_fg, g_bg = res
+    hi_n, lo_n = _bucket_split(n_buckets)
+    ct = cts[0]
+    c = g_fg.shape[0]
+    gf = (g_fg * ct[:, None]).reshape(c, hi_n, lo_n)
+    gb = (g_bg * ct[:, None]).reshape(c, hi_n, lo_n)
+    tbl = jnp.concatenate([gb, gf], axis=-1).transpose(0, 2, 1)
+    dlg = _nchw1_grad(logits, labels, tbl, bh, w_real, n_buckets)
+    return dlg, None
+
+
+lovasz_single_nchw.defvjp(_nchw1_fwd, _nchw1_bwd)
+
+
+def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
+                           classes_to_ignore: int | None = None,
+                           n_buckets: int = 2048,
+                           align_corners: bool = True):
+    """Single-scale bucket Lovász-Softmax from pre-upsample logits, with
+    the model's final bilinear upsample fused into the NCHW pipeline.
+
+    Semantics mirror losses.functional.lovasz_softmax (per_image=False):
+    `classes_to_consider` None/'present' averages over classes present in
+    the labels, 'all' over every channel, or an explicit id list.
+    `align_corners` must match the model's own final upsample (True for
+    OCR/DeepLab heads, False for UPerNet, models/*.py)."""
+    n, h, w = labels.shape
+    c = logits_s8.shape[-1]
+    lbl = labels.astype(jnp.int32)
+    if classes_to_ignore is not None:
+        lbl = jnp.where(lbl == classes_to_ignore, -1, lbl)
+    bh = _pick_bh(h)
+    w_pad = -(-w // 128) * 128
+    lg = upsample_nchw(logits_s8, (h, w), align_corners=align_corners,
+                       w_pad=w_pad).astype(jnp.float32)
+    if w_pad != w:
+        lbl = jnp.pad(lbl, ((0, 0), (0, 0), (0, w_pad - w)),
+                      constant_values=-1)
+    per_class, gts = lovasz_single_nchw(lg, lbl, bh, w, n_buckets)
+    if classes_to_consider in (None, "present", "all"):
+        class_mask = jnp.ones(c)
+    else:
+        class_mask = jnp.zeros(c).at[jnp.asarray(classes_to_consider)].set(1.0)
+    if classes_to_consider == "all":
+        m = class_mask
+    else:
+        m = class_mask * (gts > 0).astype(jnp.float32)
+    return jnp.sum(per_class * m) / jnp.maximum(jnp.sum(m), 1.0)

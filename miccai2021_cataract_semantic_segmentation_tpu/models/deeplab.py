@@ -78,7 +78,10 @@ class DeepLabv3(nn.Module):
         mult = 1 if self.out_stride >= 16 else 2
         y = ASPP(self.c_aspp, mult, dtype=self.dtype, name="aspp")(high, train)
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="conv_out")(y)
+        # pre-upsample logits for losses that fuse the align_corners=True
+        # upsample (losses/fused_lovasz.py); DCE'd when unused
         out = {"logits": to_f32(upsample_like(logits, in_hw)),
+               "logits_s8": to_f32(logits),
                "deep_features": high}
         if self.projector is not None:
             out["proj_features"] = Projector(**self.projector, dtype=self.dtype,
@@ -115,7 +118,10 @@ class DeepLabv3Plus(nn.Module):
         y = ConvBN(self.c_decoder, 3, bn_eps=_ASPP_BN_EPS, dtype=self.dtype,
                    name="conv_3x3_2")(y, train)
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="conv_out")(y)
+        # pre-upsample logits for losses that fuse the align_corners=True
+        # upsample (losses/fused_lovasz.py); DCE'd when unused
         out = {"logits": to_f32(upsample_like(logits, in_hw)),
+               "logits_s8": to_f32(logits),
                "deep_features": high}
         if self.projector is not None:
             out["proj_features"] = Projector(**self.projector, dtype=self.dtype,

@@ -44,14 +44,17 @@ class EncDec(nn.Module):
 
         dec_name = dec_cfg.pop("model", "UPerNet")
         if dec_name == "UPerNet":
-            logits = UPerNetDecoder(task=self.task, input_scales=(4, 8, 16, 32),
-                                    dtype=self.dtype, name="decoder",
-                                    **{k: v for k, v in dec_cfg.items()
-                                       if k in ("pool_scales", "ppm_num_ch",
-                                                "fpn_num_ch", "fpn_num_lvl",
-                                                "interpolate_result_up")},
-                                    )(conv_out, train)
-            out = {"logits": logits}
+            logits, logits_small = UPerNetDecoder(
+                task=self.task, input_scales=(4, 8, 16, 32),
+                dtype=self.dtype, name="decoder",
+                **{k: v for k, v in dec_cfg.items()
+                   if k in ("pool_scales", "ppm_num_ch",
+                            "fpn_num_ch", "fpn_num_lvl",
+                            "interpolate_result_up")},
+            )(conv_out, train)
+            # "_acf" marks the align_corners=False upsample convention
+            # (UPerNet.py:143-144) for losses that fuse the upsample
+            out = {"logits": logits, "logits_s8_acf": logits_small}
         elif dec_name == "PointRend":
             from miccai2021_cataract_semantic_segmentation_tpu.models.pointrend import PointRendDecoder
             # accept both the reference config vocabulary (PointRend.py:14-19)

@@ -123,9 +123,10 @@ class PointRendDecoder(nn.Module):
     @nn.compact
     def __call__(self, conv_out: Sequence[jnp.ndarray], train: bool = False):
         num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
-        coarse = UPerNetDecoder(task=self.task, input_scales=tuple(self.input_scales),
-                                interpolate_result_up=False, dtype=self.dtype,
-                                name="coarse")(conv_out, train)
+        coarse, _ = UPerNetDecoder(task=self.task,
+                                   input_scales=tuple(self.input_scales),
+                                   interpolate_result_up=False, dtype=self.dtype,
+                                   name="coarse")(conv_out, train)
         head = PointHead(num_classes, dtype=self.dtype, name="point_head")
         scale = self.input_scales[0]
 

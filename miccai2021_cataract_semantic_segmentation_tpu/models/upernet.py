@@ -66,8 +66,11 @@ class UPerNetDecoder(nn.Module):
         y = jnp.concatenate(fusion, axis=-1)
         y = ConvBN(self.fpn_num_ch, 3, dtype=self.dtype, name="conv_last")(y, train)
         logits = nn.Conv(num_classes, (1, 1), dtype=self.dtype, name="cls")(y)
+        small = logits
         if self.interpolate_result_up:
             s = self.input_scales[-n_lvl]
             logits = upsample_like(logits, (out_hw[0] * s, out_hw[1] * s),
                                    align_corners=False)
-        return to_f32(logits)
+        # (full-res logits, pre-upsample logits) — the second feeds losses
+        # that fuse the align_corners=False upsample (losses/fused_lovasz.py)
+        return to_f32(logits), to_f32(small)

@@ -136,3 +136,84 @@ def test_fused_bucket_counts(shapes, n_buckets):
         lbl, 0.4, 1.0, impl="sort"))(li)
     a, b = np.asarray(g).ravel(), np.asarray(gs).ravel()
     assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.999
+
+
+class TestSingleScaleFused:
+    """Single-scale fused bucket Lovász (DeepLab/UPerNet recipes)."""
+
+    def _data(self, c=5, seed=0):
+        rng = np.random.default_rng(seed)
+        n, h8, w8, H, W = 2, 17, 30, 136, 240
+        lg = jnp.asarray(rng.normal(size=(n, h8, w8, c)).astype(np.float32)) * 2
+        lbl = jnp.asarray(rng.integers(0, c, (n, H, W)).astype(np.int32))
+        return lg, lbl, (H, W)
+
+    @pytest.mark.parametrize("align_corners", [True, False])
+    def test_value_and_grad_vs_sort(self, align_corners):
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (
+            lovasz_softmax)
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.fused_lovasz import (
+            fused_bucket_lovasz_s8)
+        lg, lbl, (H, W) = self._data()
+        ref = lovasz_softmax(resize_bilinear(lg, (H, W), align_corners),
+                             lbl, impl="sort")
+        got = fused_bucket_lovasz_s8(lg, lbl, align_corners=align_corners)
+        assert abs(float(got) - float(ref)) < 2e-3
+        g = jax.grad(lambda a: fused_bucket_lovasz_s8(
+            a, lbl, align_corners=align_corners))(lg)
+        gs = jax.grad(lambda a: lovasz_softmax(
+            resize_bilinear(a, (H, W), align_corners), lbl, impl="sort"))(lg)
+        a, b = np.asarray(g).ravel(), np.asarray(gs).ravel()
+        assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.999
+
+    def test_class_modes_and_ignore(self):
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (
+            lovasz_softmax)
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.fused_lovasz import (
+            fused_bucket_lovasz_s8)
+        lg, lbl, (H, W) = self._data()
+        up = resize_bilinear(lg, (H, W), True)
+        for kwargs in ({"classes_to_consider": "all"},
+                       {"classes_to_consider": [0, 2, 3]},
+                       {"classes_to_ignore": 4}):
+            ref = lovasz_softmax(up, lbl, impl="sort", **kwargs)
+            got = fused_bucket_lovasz_s8(lg, lbl, **kwargs)
+            assert abs(float(got) - float(ref)) < 2e-3, kwargs
+
+    def test_odd_class_count_pairing_tail(self):
+        """C=5 with 1024 buckets exercises the paired kernel + tail row."""
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (
+            lovasz_softmax)
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.fused_lovasz import (
+            fused_bucket_lovasz_s8)
+        lg, lbl, (H, W) = self._data(c=5, seed=3)
+        ref = lovasz_softmax(resize_bilinear(lg, (H, W), True), lbl, impl="sort")
+        got = fused_bucket_lovasz_s8(lg, lbl, n_buckets=1024)
+        assert abs(float(got) - float(ref)) < 4e-3
+
+    def test_build_loss_routes_single_s8(self):
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (
+            lovasz_softmax)
+        lg, lbl, (H, W) = self._data()
+        up = resize_bilinear(lg, (H, W), True)
+        loss_fn = build_loss({"name": "LovaszSoftmax", "lovasz_impl": "bucket"},
+                             task=1)
+        v_plain, _ = loss_fn({"logits": up}, lbl)
+        v_fused, _ = loss_fn({"logits": up, "logits_s8": lg}, lbl)
+        assert abs(float(v_fused) - float(v_plain)) < 2e-3
+        # align_corners=False models route through the _acf key
+        up0 = resize_bilinear(lg, (H, W), align_corners=False)
+        v0, _ = loss_fn({"logits": up0, "logits_s8_acf": lg}, lbl)
+        ref0 = lovasz_softmax(up0, lbl, impl="sort")
+        assert abs(float(v0) - float(ref0)) < 2e-3
+
+    def test_losswrapper_routes_single_s8(self):
+        lg, lbl, (H, W) = self._data()
+        up0 = resize_bilinear(lg, (H, W), align_corners=False)
+        loss_fn = build_loss({"losses": {"LovaszSoftmax": 1},
+                              "LovaszSoftmax": {"name": "LovaszSoftmax",
+                                                "lovasz_impl": "bucket"}},
+                             task=1)
+        v_plain, _ = loss_fn({"logits": up0}, lbl)
+        v_fused, _ = loss_fn({"logits": up0, "logits_s8_acf": lg}, lbl)
+        assert abs(float(v_fused) - float(v_plain)) < 2e-3
