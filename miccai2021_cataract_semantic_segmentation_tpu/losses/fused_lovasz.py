@@ -1,34 +1,40 @@
-"""Fully-fused two-scale bucket Lovász from stride-8 logits.
+"""Fully-fused bucket Lovász from pre-upsample logits (NCHW Pallas kernels).
 
 Round-1's bucket Lovász kernel was fast (23 ms) but the XLA glue around it
-cost ~100 ms/step: transposing full-res NHWC logits to the kernel's (C, P)
-row layout lowered to 17-step while loops of dynamic-update-slices, and the
-(R, P) -> (R, chunks, 1, CHUNK) chunk view forced a T(8,128) -> T(1,128)
-relayout (19 ms). This module removes all of it:
+cost ~100 ms/step: transposing full-res NHWC logits into the kernel's
+class-major row layout lowered to 17-step while loops of
+dynamic-update-slices, and any reshape that merges batch into the pixel
+lane dim forces a tile relayout. This module removes all of it by keeping
+everything in the layouts XLA produces natively:
 
-  * the (C, P) transpose happens at STRIDE 8 (1.1 M elements, free), and the
-    bilinear upsample to full resolution runs IN that layout as two plain
-    dot_generals ((C·N, h, w) -> (C·N, H, W), W minor) — the same
-    align_corners=True interpolation matrices as ops/resize.
-  * softmax over the class rows of (C, P) is a cheap sublane reduction.
-  * ONE Pallas kernel takes the (R=2C, P) probability rows plus the (1, P)
-    labels and produces the (R, HI, 4·LO) bucket histograms directly:
-    fg/error construction, bucketing and the histogram matmul all happen
-    in-kernel on native (R, chunk) blocks — no relayouts, no materialised
-    error matrices in HBM.
-  * the backward kernel re-derives fg/errors from the same inputs and emits
-    dL/dprobs (R, P) with the |fg - p| sign folded in; softmax and upsample
-    backward are ordinary XLA matmuls in the same layout.
+  * the class transpose happens at STRIDE 8 (1.1 M elements, free) and the
+    bilinear upsample to label resolution runs as two plain dot_generals
+    into (N, C, H, W) with W minor (`upsample_nchw`) — the interpolation
+    matrices match ops/resize exactly, and the width is zero-padded to a
+    lane multiple inside the matmul for free;
+  * the kernels consume (1, C, bh, W) blocks of that tensor directly:
+    softmax over C, fg/error construction, bucketing, and the histogram
+    matmuls all happen in-kernel (backward additionally applies the
+    softmax VJP and emits dL/dlogits in the same blocks) — no
+    intermediate array ever exists in HBM;
+  * sublane->lane flattening inside a kernel cannot be a vector op
+    (Mosaic rejects the shape cast), so values are staged through VMEM
+    scratch refs: ref reads yield canonical-layout values and
+    aligned-lane stores accept them.
 
 Bucket semantics are identical to losses/bucket_lovasz.py (mean-error
 within buckets, fg-first tie order), so the sort-vs-bucket tolerance tests
 transfer. The bucket count is a config dial (`lovasz_buckets`, default
 2048): histogram cost is provably proportional to B, and at B <= 1024 the
-columns are narrow enough to pack both scales of a class into one full
-128-wide MXU pass (see _nchw_fwd_kernel) — the flagship recipe ships with
-1024 (measured deviation vs the exact sort path ~4e-6, same as 2048). Reference semantics: losses/TwoScaleLoss.py:43-52
-+ losses/LovaszSoftmax.py:34-95 evaluated on align_corners=True upsampled
-logits (models/OCR.py:128-138).
+columns are narrow enough to pack two rows into one full 128-wide MXU
+pass (see _nchw_fwd_kernel) — the flagship recipe ships with 1024
+(measured deviation vs the exact sort path ~4e-6, same as 2048).
+
+Entry points: `fused_two_scale_bucket_lovasz_s8` (OCRNet's TwoScaleLoss,
+both scales in one kernel pass; reference losses/TwoScaleLoss.py:43-52 +
+losses/LovaszSoftmax.py:34-95 on align_corners=True upsampled logits,
+models/OCR.py:128-138) and `fused_bucket_lovasz_s8` (single-scale
+LovaszSoftmax for the DeepLab/UPerNet heads, align convention per model).
 """
 from __future__ import annotations
 
@@ -42,117 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import _interp_matrix
 
-_HI, _LO = 64, 32            # two-level bucket split, B = 2048 (as v1)
-N_BUCKETS = _HI * _LO
-_STEP = 8192                 # pixels per inner matmul
-CHUNK = 16384                # pixels per grid step (divides 8*544*960 exactly)
-
-
 def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
-
-
-# ---------------------------------------------------------------------------
-# Transposed-layout upsample: (N, h, w, C) -> (C, N*H*W) rows
-# ---------------------------------------------------------------------------
-
-def upsample_cp(logits_small: jnp.ndarray, out_hw: tuple[int, int],
-                align_corners: bool = True) -> jnp.ndarray:
-    """Bilinear-upsample stride-s logits into (C, N*H*W) row layout.
-
-    The class transpose happens at stride-8 size (trivial); the two
-    interpolation contractions are plain dot_generals whose output keeps W
-    minor, so the result is bit-layout-ready for the histogram kernel with
-    no further relayout."""
-    n, h, w, c = logits_small.shape
-    oh, ow = out_hw
-    acc = jnp.promote_types(logits_small.dtype, jnp.float32)
-    mh = jnp.asarray(_interp_matrix(h, oh, align_corners).T, acc)  # (h, H)
-    mw = jnp.asarray(_interp_matrix(w, ow, align_corners).T, acc)  # (w, W)
-    t = logits_small.transpose(3, 0, 1, 2).astype(acc)             # (C,N,h,w)
-    t = t.reshape(c * n, h, w)
-    # dot_general output dims = (batch, lhs_free..., rhs_free...):
-    # contract h: (CN, h, w) x (h, H) -> (CN, w, H)
-    x1 = jax.lax.dot_general(t, mh, (((1,), (0,)), ((), ())))
-    # contract w: (CN, w, H) x (w, W) -> (CN, H, W)  [W minor]
-    x2 = jax.lax.dot_general(x1, mw, (((1,), (0,)), ((), ())))
-    return x2.reshape(c, n * oh * ow)
-
-
-# ---------------------------------------------------------------------------
-# Forward kernel: (R, P) prob rows + (1, P) labels -> (R, HI, 4*LO) histograms
-# columns: [bg count (LO) | fg count (LO) | bg sum_e (LO) | fg sum_e (LO)]
-# indexed by lo; bucket b = hi*LO + lo; comb = lo + LO*fg.
-# ---------------------------------------------------------------------------
-
-def _fwd_kernel(lbl_ref, probs_ref, out_ref, *, n_rows, n_cls, p_real):
-    p = pl.program_id(0)
-
-    @pl.when(p == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, _STEP), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, _STEP), 0)
-
-    def step(s, _):
-        off = s * _STEP
-        lbl = lbl_ref[0, pl.ds(off, _STEP)]                       # (_STEP,)
-        gidx = (p * CHUNK + off
-                + jax.lax.broadcasted_iota(jnp.int32, (1, _STEP), 1)[0])
-        gvalid = gidx < p_real
-
-        def row(r, _):
-            cls = jax.lax.rem(r, n_cls)
-            prow = probs_ref[r, pl.ds(off, _STEP)]                # (_STEP,)
-            fg = (lbl == cls)
-            e = jnp.abs(fg.astype(jnp.float32) - prow)
-            bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
-            bid = jnp.where(gvalid, bid, -1)
-            hi = jnp.where(bid < 0, -1, bid // _LO)
-            comb = jnp.where(bid < 0, -1,
-                             bid % _LO + _LO * fg.astype(jnp.int32))
-            a2 = (hi[None, :] == iota_h).astype(jnp.bfloat16)     # (HI, _STEP)
-            mask = comb[None, :] == iota_c                        # (2LO, _STEP)
-            b2t = jnp.concatenate(
-                [mask.astype(jnp.bfloat16),
-                 jnp.where(mask, e[None, :], 0.0).astype(jnp.bfloat16)],
-                axis=0)                                           # (4LO, _STEP)
-            acc = jax.lax.dot_general(
-                a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)               # (HI, 4LO)
-            out_ref[pl.ds(r, 1), :, :] += acc[None]
-            return 0
-
-        jax.lax.fori_loop(0, n_rows, row, 0)
-        return 0
-
-    jax.lax.fori_loop(0, CHUNK // _STEP, step, 0)
-
-
-def _histogram(probs_rows, labels_row, n_cls: int, p_real: int):
-    r, p_pad = probs_rows.shape
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_rows=r, n_cls=n_cls, p_real=p_real),
-        grid=(p_pad // CHUNK,),
-        in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda p: (0, p),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, CHUNK), lambda p: (0, p),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r, _HI, 4 * _LO), lambda p: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, _HI, 4 * _LO), jnp.float32),
-        interpret=_use_interpret(),
-    )(labels_row, probs_rows)
-    # columns [bg count | fg count | bg se | fg se], each LO wide, per hi
-    out = out.reshape(r, _HI, 4, _LO)
-    n_bg, n_fg = out[:, :, 0], out[:, :, 1]
-    se_bg, se_fg = out[:, :, 2], out[:, :, 3]
-    return jnp.stack([n_fg.reshape(r, N_BUCKETS), n_bg.reshape(r, N_BUCKETS),
-                      se_fg.reshape(r, N_BUCKETS), se_bg.reshape(r, N_BUCKETS)],
-                     axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -185,120 +82,6 @@ def _losses_and_tables(hist):
     g_bg = (j_end - j_mid) / jnp.maximum(n0, 1.0)
     per_row = jnp.sum(se1 * g_fg + se0 * g_bg, axis=1)
     return per_row, g_total[:, 0], g_fg[:, ::-1], g_bg[:, ::-1]
-
-
-# ---------------------------------------------------------------------------
-# Backward kernel: re-derive fg/bid, gather table gradients, fold |.| sign
-# ---------------------------------------------------------------------------
-
-def _bwd_kernel(lbl_ref, probs_ref, tbl_ref, out_ref, *, n_rows, n_cls, p_real):
-    p = pl.program_id(0)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (_HI, _STEP), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * _LO, _STEP), 0)
-
-    def step(s, _):
-        off = s * _STEP
-        lbl = lbl_ref[0, pl.ds(off, _STEP)]
-        gidx = (p * CHUNK + off
-                + jax.lax.broadcasted_iota(jnp.int32, (1, _STEP), 1)[0])
-        gvalid = gidx < p_real
-
-        def row(r, _):
-            cls = jax.lax.rem(r, n_cls)
-            prow = probs_ref[r, pl.ds(off, _STEP)]
-            fg = (lbl == cls)
-            fg_f = fg.astype(jnp.float32)
-            e = jnp.abs(fg_f - prow)
-            bid = jnp.minimum((e * N_BUCKETS).astype(jnp.int32), N_BUCKETS - 1)
-            hi = bid // _LO
-            comb = bid % _LO + _LO * fg.astype(jnp.int32)
-            oh_hi = (hi[None, :] == iota_h).astype(jnp.bfloat16)   # (HI, _STEP)
-            tbl = tbl_ref[r, :, :].astype(jnp.bfloat16)            # (2LO, HI)
-            tmp = jax.lax.dot_general(
-                tbl, oh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)                # (2LO, _STEP)
-            picked = jnp.where(comb[None, :] == iota_c, tmp, 0.0)
-            de = jnp.sum(picked, axis=0)                           # (_STEP,)
-            # d e / d p = sign(p - fg): -1 on fg pixels, +1 on bg
-            dp = jnp.where(fg, -de, de)
-            dp = jnp.where(gvalid, dp, 0.0)
-            out_ref[pl.ds(r, 1), pl.ds(off, _STEP)] = dp[None]
-            return 0
-
-        jax.lax.fori_loop(0, n_rows, row, 0)
-        return 0
-
-    jax.lax.fori_loop(0, CHUNK // _STEP, step, 0)
-
-
-def _grad_probs(probs_rows, labels_row, tbl, n_cls: int, p_real: int):
-    r, p_pad = probs_rows.shape
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_rows=r, n_cls=n_cls, p_real=p_real),
-        grid=(p_pad // CHUNK,),
-        in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda p: (0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, CHUNK), lambda p: (0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, 2 * _LO, _HI), lambda p: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((r, CHUNK), lambda p: (0, p),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, p_pad), jnp.float32),
-        interpret=_use_interpret(),
-    )(labels_row, probs_rows, tbl)
-
-
-# ---------------------------------------------------------------------------
-# custom-vjp row Lovász: (R, P) probs + (P,) labels -> (R,) terms, (R,) gts
-# ---------------------------------------------------------------------------
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def lovasz_rows_bucket(probs_rows, labels_flat, n_cls: int):
-    """Per-row bucket-Lovász terms for stacked (R, P) probability rows.
-
-    Row r scores class ``r % n_cls``; returns (per_row (R,), gts (R,)) where
-    gts is the per-row foreground count (for the 'present' filter — free
-    from the histogram, no extra pass)."""
-    per_row, gts, _, _ = _losses_and_tables(
-        _histogram(*_prep(probs_rows, labels_flat), n_cls,
-                   probs_rows.shape[1]))
-    return per_row, gts
-
-
-def _prep(probs_rows, labels_flat):
-    r, p_real = probs_rows.shape
-    p_pad = -(-p_real // CHUNK) * CHUNK
-    if p_pad != p_real:
-        probs_rows = jnp.pad(probs_rows, ((0, 0), (0, p_pad - p_real)))
-        labels_flat = jnp.pad(labels_flat, (0, p_pad - p_real),
-                              constant_values=-1)
-    return probs_rows.astype(jnp.float32), labels_flat.reshape(1, p_pad)
-
-
-def _rows_fwd(probs_rows, labels_flat, n_cls):
-    p_real = probs_rows.shape[1]
-    probs_p, lbl_p = _prep(probs_rows, labels_flat)
-    per_row, gts, g_fg, g_bg = _losses_and_tables(
-        _histogram(probs_p, lbl_p, n_cls, p_real))
-    return (per_row, gts), (probs_p, lbl_p, g_fg, g_bg, p_real)
-
-
-def _rows_bwd(n_cls, res, cts):
-    probs_p, lbl_p, g_fg, g_bg, p_real = res
-    ct = cts[0]  # gts output is integer-valued statistics; its ct is zero
-    r = probs_p.shape[0]
-    # fold the per-row cotangent into the bucket tables; lay them out as
-    # (R, comb=2*LO, HI) so the kernel's gather matmul needs no transpose
-    gf = (g_fg * ct[:, None]).reshape(r, _HI, _LO)
-    gb = (g_bg * ct[:, None]).reshape(r, _HI, _LO)
-    tbl = jnp.concatenate([gb, gf], axis=-1)          # (R, HI, 2LO)
-    tbl = tbl.transpose(0, 2, 1)                      # (R, 2LO, HI)
-    dp = _grad_probs(probs_p, lbl_p, tbl, n_cls, p_real)
-    return dp[:, :p_real], None
-
-
-lovasz_rows_bucket.defvjp(_rows_fwd, _rows_bwd)
 
 
 # ---------------------------------------------------------------------------
