@@ -151,9 +151,13 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
         pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
     lbl = lscr[0:1, :]                                   # (1, K) i32
     valid = (lbl >= 0).astype(jnp.float32)
+    # ignore-labeled pixels are excluded from the histogram entirely (same
+    # bid=-1 route as the lane-pad mask), matching classes_to_ignore
+    # semantics exactly rather than counting them as e=0 background
+    keep = lbl >= 0                                      # (1, K) bool
     if w_real != w:
         kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-        inlane = kio % w < w_real                        # (1, K) pad mask
+        keep = keep & (kio % w < w_real)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
 
@@ -161,8 +165,7 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
         prow = pscr[pl.ds(r, 1), :] * valid              # (1, K)
         e = jnp.abs(fg.astype(jnp.float32) - prow)
         bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
-        if w_real != w:
-            bid = jnp.where(inlane, bid, -1)
+        bid = jnp.where(keep, bid, -1)
         hi = jnp.where(bid < 0, -1, bid // lo_n)
         comb = jnp.where(bid < 0, -1, bid % lo_n + lo_n * fg_i)
         a2 = (hi == iota_h).astype(jnp.bfloat16)         # (HI, K)
@@ -452,9 +455,11 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
         lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
     lbl = lscr[0:1, :]
     valid = (lbl >= 0).astype(jnp.float32)
+    # ignore pixels excluded exactly via bid=-1 (see _nchw_fwd_kernel)
+    keep = lbl >= 0
     if w_real != w:
         kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-        inlane = kio % w < w_real
+        keep = keep & (kio % w < w_real)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
 
@@ -463,8 +468,7 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
         fg = lbl == r
         e = jnp.abs(fg.astype(jnp.float32) - prow)
         bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
-        if w_real != w:
-            bid = jnp.where(inlane, bid, -1)
+        bid = jnp.where(keep, bid, -1)
         hi = jnp.where(bid < 0, -1, bid // lo_n)
         comb = jnp.where(bid < 0, -1,
                          bid % lo_n + lo_n * fg.astype(jnp.int32))

@@ -7,10 +7,13 @@ uint8 batch — it fuses into the forward pass, the host only ships raw uint8
 frames, and per-sample randomness comes from a single threaded PRNG key.
 
 Parity notes:
-  * ColorJitter: factor ranges match torchvision's semantics
-    (brightness/contrast/saturation blend, hue shift in HSV); the four ops
-    are applied in a per-sample random permutation exactly as torchvision
-    shuffles them.
+  * ColorJitter: factor ranges and per-op math match torchvision's
+    semantics (brightness/contrast/saturation blend, hue shift in HSV).
+    DEVIATION: torchvision applies the four ops in a per-sample random
+    permutation; we apply them in a FIXED order (brightness, contrast,
+    saturation, hue) because a vmapped lax.switch over permutations runs
+    every branch for every image (see color_jitter's docstring for the
+    cost analysis). Recorded in COVERAGE.md.
   * Blur: PIL GaussianBlur with radius ~ U{3..6} applied with prob 0.05
     (transforms.py:242-251); implemented as a separable gaussian with a
     static 37-tap kernel whose sigma is per-sample (sigma=0 -> identity tap).

@@ -22,35 +22,98 @@ def _background_batches(gen, depth: int = 2):
     Unlike pipeline.Prefetcher this does NOT device_put: the frames must
     stay host-resident (they are written to the output video), and
     round-tripping them through the device would add a device->host
-    transfer per batch for data the host already had."""
+    transfer per batch for data the host already had.
+
+    If the consumer exits early (e.g. a writer raises), a stop event is set
+    and the worker's bounded q.put drains via timeout instead of blocking
+    forever — repeated calls in a long-lived process don't leak threads or
+    decoded-frame memory."""
     import queue
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     err = []
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def work():
         try:
             for item in gen:
-                q.put(item)
+                if not put(item):
+                    return
         except Exception as e:  # noqa: BLE001
             err.append(e)
         finally:
-            q.put(None)
+            put(None)
 
-    threading.Thread(target=work, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            if err:
-                raise err[0]
-            return
-        yield item
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 try:
     import cv2
 except ImportError:  # pragma: no cover
     cv2 = None
+
+
+def _parallel_batches(video_paths, height, width, chunks, workers: int):
+    """Decode frame batches on `workers` threads, yielding IN ORDER.
+
+    Each worker thread owns its own VideoDataset (cv2.VideoCapture handles
+    are stateful and not thread-safe), so decode scales with host cores —
+    cv2 releases the GIL during read/convert/resize. A bounded window of
+    futures (workers + 2) keeps decode ahead of the consumer without
+    unbounded frame memory. `chunks` is a list of (frame_indices, n_valid)
+    batch descriptors."""
+    import itertools
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import (
+        VideoDataset)
+
+    tls = threading.local()
+
+    def decode(chunk):
+        indices, n_valid = chunk
+        ds = getattr(tls, "ds", None)
+        if ds is None:
+            ds = tls.ds = VideoDataset(video_paths, height, width)
+        frames, vids = [], []
+        for j in indices:
+            frame, _, vid = ds[int(j)]
+            frames.append(frame)
+            vids.append(vid)
+        return np.stack(frames), np.asarray(vids), n_valid
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        it = iter(chunks)
+        window = deque(pool.submit(decode, c)
+                       for c in itertools.islice(it, workers + 2))
+        while window:
+            fut = window.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                window.append(pool.submit(decode, nxt))
+            yield fut.result()
 
 
 def discover_videos(data_path: str, video_ids: list[str]) -> list[pathlib.Path]:
@@ -65,7 +128,8 @@ def discover_videos(data_path: str, video_ids: list[str]) -> list[pathlib.Path]:
 
 def demo_infer(trainer, video_paths: list[str] | None = None,
                side_by_side: bool | None = None, frame_freq: int | None = None,
-               batch_size: int = 8, fps: int = 30):
+               batch_size: int = 8, fps: int = 30,
+               decode_workers: int | None = None):
     """Run segmentation over videos, writing colour-mapped .avi outputs.
 
     Mode semantics follow the reference (BaseManager.py:148-188, 690-741):
@@ -74,7 +138,12 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
     writes prediction-only videos. `frame_freq` (config 'demo_frame_freq')
     strides frame ids *within each video* (BaseManager.py:175-176), and
     every selected frame is processed — the tail partial batch is padded,
-    not dropped."""
+    not dropped.
+
+    Host decode runs on `decode_workers` threads (config
+    'video_decode_workers', default min(4, cpu_count)) with per-thread
+    capture handles, overlapping the device step and the encoder writes —
+    decode throughput scales with host cores (PERF.md §5)."""
     cfg = trainer.config
     if side_by_side is None:
         side_by_side = (cfg.get("mode", "demo_video_inference")
@@ -100,19 +169,18 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
             f"{cfg.get('graph', {}).get('model', 'model')}.avi"
         writers[vid] = cv2.VideoWriter(str(out), fourcc, fps, shape)
 
-    def batches():
-        for i in range(0, len(indices), batch_size):
-            chunk = indices[i:i + batch_size]
-            n_valid = len(chunk)
-            if n_valid < batch_size:  # pad tail to the static batch shape
-                chunk = np.concatenate(
-                    [chunk, np.full(batch_size - n_valid, chunk[-1])])
-            frames, vids = [], []
-            for j in chunk:
-                frame, _, vid = ds[int(j)]
-                frames.append(frame)
-                vids.append(vid)
-            yield np.stack(frames), np.asarray(vids), n_valid
+    if decode_workers is None:
+        import os
+        decode_workers = int(cfg.get("video_decode_workers",
+                                     min(4, os.cpu_count() or 1)))
+    chunks = []
+    for i in range(0, len(indices), batch_size):
+        chunk = indices[i:i + batch_size]
+        n_valid = len(chunk)
+        if n_valid < batch_size:  # pad tail to the static batch shape
+            chunk = np.concatenate(
+                [chunk, np.full(batch_size - n_valid, chunk[-1])])
+        chunks.append((chunk, n_valid))
 
     state = trainer.state
     eval_step = trainer.eval_step
@@ -145,19 +213,36 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
             writers[int(vids[k])].write(cv2.cvtColor(out_img, cv2.COLOR_RGB2BGR))
             n_frames += 1
 
+    if decode_workers > 1:
+        batch_iter = _parallel_batches(video_paths, height, width, chunks,
+                                       decode_workers)
+    else:
+        def serial():
+            for chunk, n_valid in chunks:
+                frames, vids = [], []
+                for j in chunk:
+                    frame, _, vid = ds[int(j)]
+                    frames.append(frame)
+                    vids.append(vid)
+                yield np.stack(frames), np.asarray(vids), n_valid
+
+        batch_iter = _background_batches(serial(), depth=2)
+
     pending = None
-    for frames, vids, n_valid in _background_batches(batches(), depth=2):
-        # frames are host numpy; jit moves them H2D, only the uint8 class
-        # map comes back
-        logits, _, _ = eval_step(state, frames, dummy_lbl)
-        pred_dev = to_pred_u8(logits)
+    try:
+        for frames, vids, n_valid in batch_iter:
+            # frames are host numpy; jit moves them H2D, only the uint8 class
+            # map comes back
+            logits, _, _ = eval_step(state, frames, dummy_lbl)
+            pred_dev = to_pred_u8(logits)
+            if pending is not None:
+                flush(*pending)   # overlaps host work with the in-flight step
+            pending = (pred_dev, frames, vids, n_valid)
         if pending is not None:
-            flush(*pending)   # overlaps host work with the in-flight step
-        pending = (pred_dev, frames, vids, n_valid)
-    if pending is not None:
-        flush(*pending)
-    for w in writers.values():
-        w.release()
+            flush(*pending)
+    finally:
+        for w in writers.values():
+            w.release()
     print(f"[video] wrote {n_frames} frames across {len(writers)} videos "
           f"to {trainer.run_dir}")
     return n_frames

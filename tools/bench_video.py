@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--frames", type=int, default=96)
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--model", default="OCRNet")
+    ap.add_argument("--workers", type=int, default=None,
+                    help="decode threads (default min(4, cpu_count))")
     args = ap.parse_args()
 
     import cv2
@@ -82,9 +84,11 @@ def main():
           f"frames/s (bs {args.bs})")
 
     t0 = time.perf_counter()
-    n = demo_infer(trainer, video_paths=[str(vid_path)], batch_size=args.bs)
+    n = demo_infer(trainer, video_paths=[str(vid_path)], batch_size=args.bs,
+                   decode_workers=args.workers)
     dt = time.perf_counter() - t0
-    print(f"end-to-end: {n} frames in {dt:.2f}s = {n / dt:.1f} frames/s")
+    print(f"end-to-end: {n} frames in {dt:.2f}s = {n / dt:.1f} frames/s "
+          f"(decode workers {args.workers})")
     print("NOTE: on this development environment the TPU sits behind a "
           "network tunnel whose device->host readback is slow and unstable "
           "(~0.1-30 MB/s observed), so end-to-end video fps here is "
