@@ -70,9 +70,31 @@ def assemble_batch(dataset, indices, pipeline=None, rng=None, pool=None):
 
 
 def device_put_batch(batch, sharding=None):
+    """Host batch -> device arrays, optionally sharded.
+
+    Multi-host (jax.process_count() > 1): each process feeds its LOCAL
+    shard of the global batch and the pieces are assembled into one global
+    jax.Array via `jax.make_array_from_process_local_data` (SURVEY.md §2.7
+    item 4). Single-process: plain device_put with the same sharding — the
+    degenerate path produces identical arrays (tested in
+    tests/test_multihost.py)."""
     if sharding is None:
         return jax.device_put(batch)
+    if jax.process_count() > 1:
+        return global_batch_from_process_local(batch, sharding)
     return jax.device_put(batch, sharding)
+
+
+def global_batch_from_process_local(batch, sharding):
+    """Per-process local batch -> global sharded jax.Array tree.
+
+    `batch` holds each process's slice of the global batch (global batch =
+    process batch x process_count along the leading axis); the result is a
+    global array sharded per `sharding` whose addressable shards come from
+    this process's data."""
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(a)), batch)
 
 
 class Prefetcher:

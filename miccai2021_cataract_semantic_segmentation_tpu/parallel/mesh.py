@@ -12,8 +12,10 @@ parallelism is a first-class component:
     large batch): shard the H dimension of activations; XLA SPMD emits the
     halo exchanges for convolutions.
   * Multi-host: call `jax.distributed.initialize()` before `make_mesh`; the
-    mesh then spans all processes and per-host input pipelines feed their
-    local shard via `jax.make_array_from_process_local_data`.
+    mesh then spans all processes and each process's input pipeline feeds
+    its local shard — `data.pipeline.device_put_batch` assembles the global
+    batch via `jax.make_array_from_process_local_data` whenever
+    `jax.process_count() > 1` (exercised in tests/test_multihost.py).
 """
 from __future__ import annotations
 
@@ -49,8 +51,13 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh | None, axis: str = "data"):
-    """Device-put a (possibly nested) host batch with batch-dim sharding."""
+    """Device-put a (possibly nested) host batch with batch-dim sharding.
+
+    Multi-host: routes through data.pipeline.device_put_batch, which
+    assembles the global array from each process's local slice via
+    `jax.make_array_from_process_local_data`."""
     if mesh is None:
         return jax.device_put(batch)
-    sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    from miccai2021_cataract_semantic_segmentation_tpu.data.pipeline import (
+        device_put_batch)
+    return device_put_batch(batch, batch_sharding(mesh, axis))

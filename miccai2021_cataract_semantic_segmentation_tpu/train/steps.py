@@ -73,13 +73,23 @@ def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
 
 def make_train_step(loss_fn: Callable, spec, task: int,
                     has_point_head: bool = False, donate: bool = True,
-                    mesh=None, data_axis: str = "data"):
+                    mesh=None, data_axis: str = "data",
+                    train_metrics: str = "full", debug_pred: bool = False):
     """Build the jitted train step.
 
     loss_fn: (outputs dict, labels, epoch) -> (total, terms) from
     losses.build_loss. `spec` is the DeviceAugmentSpec (static). When `mesh`
     is given, the loss runs per data shard under shard_map (see
     _sharded_loss); the model fwd/bwd stays GSPMD-partitioned.
+
+    train_metrics: "full" computes the per-step train confusion matrix from
+    the full-resolution logits (reference behaviour). "s8" computes it from
+    the model's pre-upsample (stride-8) logits against stride-subsampled
+    labels — when the loss also runs from the s8 logits (fused bucket
+    Lovász), nothing else consumes the full-res upsample and XLA dead-code
+    eliminates it (~7 ms/step at 544x960x17 bs8). Train-log metric only;
+    validation/inference always use full resolution (COVERAGE.md
+    deviations).
     """
     compute_loss = (_sharded_loss(loss_fn, mesh, data_axis) if mesh is not None
                     else (lambda outputs, lbl, epoch:
@@ -105,9 +115,26 @@ def make_train_step(loss_fn: Callable, spec, task: int,
         (loss, (terms, new_stats, outputs)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_stats)
-        cm = confusion_matrix(outputs["logits"], lbl)
+        s8 = outputs.get("logits_s8", outputs.get("logits_s8_acf"))
+        if train_metrics == "s8" and s8 is not None:
+            stride = lbl.shape[1] // s8.shape[1]
+            cm = confusion_matrix(s8, lbl[:, ::stride, ::stride])
+        else:
+            cm = confusion_matrix(outputs["logits"], lbl)
         metrics = {"loss": loss, **terms, "confusion_matrix": cm,
                    "grad_norm": optax.global_norm(grads)}
+        if debug_pred:
+            # debugging mode (reference EncDec_Manager.py:86-94): ship the
+            # augmented batch + full-res prediction back for disk triptychs
+            x_img = x
+            if spec is not None and getattr(spec, "normalise", False):
+                from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
+                    IMAGENET_MEAN, IMAGENET_STD)
+                x_img = x * IMAGENET_STD + IMAGENET_MEAN
+            metrics["debug_img"] = (jnp.clip(x_img, 0.0, 1.0) * 255).astype(jnp.uint8)
+            metrics["debug_lbl"] = lbl.astype(jnp.uint8)
+            metrics["debug_pred"] = jnp.argmax(
+                outputs["logits"], -1).astype(jnp.uint8)
         return new_state, metrics
 
     donate_args = (0,) if donate else ()

@@ -48,6 +48,16 @@ from miccai2021_cataract_semantic_segmentation_tpu.train.steps import (
 )
 
 
+def _uses_bucket_lovasz(loss_cfg: dict) -> bool:
+    """True when any nested loss config selects the fused bucket Lovász."""
+    if not isinstance(loss_cfg, dict):
+        return False
+    if loss_cfg.get("lovasz_impl") == "bucket":
+        return True
+    return any(_uses_bucket_lovasz(v) for v in loss_cfg.values()
+               if isinstance(v, dict))
+
+
 class Trainer:
     def __init__(self, config: dict, datasets=None):
         """`datasets`: optional (train_dataset, valid_dataset, train_df,
@@ -149,9 +159,21 @@ class Trainer:
 
         has_points = config.get("graph", {}).get("model") == "PointRend" or \
             (config.get("graph", {}).get("decoder", {}) or {}).get("model") == "PointRend"
+        # Train-metric confusion matrix source: with the fused stride-8
+        # bucket loss, nothing else needs the full-res logit upsample, so
+        # default the train-log metric to the s8 argmax and let XLA DCE the
+        # upsample (~7 ms/step; COVERAGE.md deviations). Explicit
+        # config["train_metrics"] ("full"/"s8") always wins.
+        train_metrics = config.get("train_metrics") or \
+            ("s8" if _uses_bucket_lovasz(loss_cfg) else "full")
+        # `debugging` (reference EncDec_Manager.py:86-94, 201-206): dump
+        # per-batch img|gt|pred triptychs under <run_dir>/debug/
+        self.debugging = bool(config.get("debugging", False))
         self.train_step = make_train_step(self.loss_fn, self.pipeline.device,
                                           self.task, has_point_head=has_points,
-                                          mesh=self.mesh)
+                                          mesh=self.mesh,
+                                          train_metrics=train_metrics,
+                                          debug_pred=self.debugging)
         eval_spec = self.pipeline.device if self.pipeline.valid_pad else None
         num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
         self.eval_step = make_eval_step(eval_spec, num_classes)
@@ -209,6 +231,7 @@ class Trainer:
         self.best_loss = float("inf")
         self.metrics = {}
         self.adaptive_sampler = None
+        self.debugging = bool(config.get("debugging", False))
         self.log_every_n_epochs = int(config.get("log_every_n_epochs", 100))
         self.log_every_n_steps = int(config.get("log_every_n_steps", 50))
 
@@ -332,6 +355,19 @@ class Trainer:
         timer = StepTimer()
         step_rng = jax.random.fold_in(self.rng, 17)
 
+        # Resume fidelity (reference restores global_step,
+        # BaseManager.py:520-525): epoch batch schedules are deterministic
+        # functions of the seed, so replaying the index streams for already-
+        # trained epochs leaves np_rng, the samplers' generators, and
+        # ind_counts exactly where an uninterrupted run would have them —
+        # the remaining epochs then see identical batches and TB steps stay
+        # continuous. (The adaptive sampler's live-IoU state is training-
+        # dependent and restarts from its uniform prior.)
+        for epoch in range(self.start_epoch):
+            replayed = self._epoch_batches(epoch, np_rng)
+            for b in replayed.reshape(-1):
+                self.ind_counts[b] += 1
+
         # config {"profile_epoch": N} captures a jax.profiler trace of epoch
         # N's steps under <run_dir>/profile (tracing subsystem; SURVEY.md §5)
         profile_epoch = cfg.get("profile_epoch")
@@ -357,15 +393,17 @@ class Trainer:
             prof = contextlib.ExitStack()
             if profile_epoch == epoch:
                 prof.enter_context(profile_steps(self.run_dir))
-            for images, labels, idx in epoch_iterator(
+            for bi, (images, labels, idx) in enumerate(epoch_iterator(
                     self.train_set, batches, self.pipeline,
                     seed=self.seed + epoch, prefetch=2,
                     num_workers=int(self.config["data"].get("num_workers", 0)),
                     sharding=None if self.mesh is None else
                     jax.sharding.NamedSharding(self.mesh,
-                                               jax.sharding.PartitionSpec("data"))):
+                                               jax.sharding.PartitionSpec("data")))):
                 self.state, m = self.train_step(self.state, images, labels,
                                                 step_rng, epoch)
+                if self.debugging:
+                    self._dump_debug_batch(m, epoch, bi)
                 running_cm = m["confusion_matrix"] if running_cm is None \
                     else running_cm + m["confusion_matrix"]
                 running_loss = running_loss + m["loss"]
@@ -480,6 +518,30 @@ class Trainer:
             img_u8[:h], mask_to_colormap(lbl[:h], self.task),
             mask_to_colormap(pred[:h], self.task)], axis=1)
         self.valid_writer.image(f"valid_img_{i}", comb, epoch)
+        if getattr(self, "debugging", False):
+            self._write_debug_png(comb, f"valid_e{epoch:03d}_{i}.png")
+
+    def _dump_debug_batch(self, m, epoch: int, bi: int):
+        """Per-batch img|gt|pred triptych dumps under <run_dir>/debug/ in
+        debugging mode (reference EncDec_Manager.py:86-94, 201-206)."""
+        imgs = np.asarray(m["debug_img"])
+        lbls = np.asarray(m["debug_lbl"])
+        preds = np.asarray(m["debug_pred"])
+        for k in range(imgs.shape[0]):
+            comb = np.concatenate([
+                imgs[k], mask_to_colormap(lbls[k], self.task),
+                mask_to_colormap(preds[k], self.task)], axis=1)
+            self._write_debug_png(comb, f"e{epoch:03d}_b{bi:04d}_{k}.png")
+
+    def _write_debug_png(self, rgb: np.ndarray, name: str):
+        dbg = self.run_dir / "debug"
+        dbg.mkdir(exist_ok=True)
+        try:
+            import cv2
+            cv2.imwrite(str(dbg / name), rgb[..., ::-1])  # RGB -> BGR
+        except ImportError:  # pragma: no cover
+            from PIL import Image
+            Image.fromarray(rgb).save(dbg / name)
 
     # ------------------------------------------------------------ inference
     def load_checkpoint(self, which: str = "best", run_id: str | None = None):
@@ -489,6 +551,11 @@ class Trainer:
         self.start_epoch = int(meta.get("epoch", 0)) + 1
         self.best_miou = meta.get("best_miou", 0.0)
         self.best_loss = meta.get("best_loss", float("inf"))
+        # state.step counts optimiser updates == train batches, so it IS the
+        # global step — restoring it keeps TB scalars continuous across
+        # resume instead of overwriting from step 0 (reference restores
+        # global_step, BaseManager.py:520-525)
+        self.global_step = int(jax.device_get(self.state.step))
         return meta
 
     def infer(self, tta: bool | None = None):
