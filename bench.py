@@ -2,16 +2,18 @@
 OCRNet-ResNet50-os8 (paper recipe: bs 8, TwoScale Lovasz, repeat-factor-
 style batches) on synthetic CaDIS-shaped data.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} where
 `value` is the TRAIN frames/sec/chip (the binding number) and
-`vs_baseline` is value / A100_TRAIN_BASELINE_FPS.
+`vs_baseline` is value / A100_TRAIN_BASELINE_FPS. The A100 baseline is an
+estimate (the reference publishes no throughput, BASELINE.md): a roofline
+derivation (PERF.md section 6) brackets it at 52-65 fps; the JSON carries
+the bracket as `baseline_bracket_fps` / `vs_baseline_bracket` so the point
+estimate can't be over-read in either direction.
 
-A100 baseline: the reference publishes no throughput (BASELINE.md). The
-60 fps estimate is a roofline derivation (PERF.md section 5): the measured
-19.2 TFLOP step on an A100 (312 TFLOP/s bf16) at eager PyTorch's typical
-40-50% MFU gives 52-65 fps. The stderr line also prints the achieved MFU
-against the v5e bf16 peak so the number is interpretable without the
-baseline (full analysis: PERF.md).
+FLOP counts for the MFU line are derived at RUNTIME from the compiled
+programs (`cost_analysis()`) plus the documented Pallas histogram matmul
+term (PERF.md section 4) — editing the bench workload cannot silently
+skew the reported MFU.
 """
 from __future__ import annotations
 
@@ -23,12 +25,30 @@ if "/root/repo" not in sys.path:
     sys.path.insert(0, "/root/repo")
 
 A100_TRAIN_BASELINE_FPS = 60.0
+A100_TRAIN_BRACKET_FPS = (52.0, 65.0)   # PERF.md section 6 roofline bracket
 A100_INFER_BASELINE_FPS = 160.0
-
-# measured workload size (PERF.md section 1) and v5e bf16 peak, for MFU
-TRAIN_STEP_TFLOP = 19.2   # 15.46 T XLA-counted + 3.7 T Pallas histograms
-EVAL_STEP_TFLOP = 5.12
 V5E_PEAK_TFLOPS = 197.0
+
+
+def pallas_histogram_tflops(n_cls: int, n_pixels_padded: int,
+                            n_buckets: int) -> float:
+    """MXU FLOPs of the fused two-scale bucket-Lovász kernels per step
+    (losses/fused_lovasz.py). Forward packs the two scales of each class
+    into one (2*HI, K) x (8*LO, K) pass -> 2*(2*HI)*(8*LO)*P = 32*B*P FLOPs
+    per class; backward runs (2*LO, HI) x (HI, K) per row over 2C rows ->
+    8*B*P per class. One-hot/VPU work is not counted (VPU, not MXU)."""
+    b, p = n_buckets, n_pixels_padded
+    return (32.0 * b * p * n_cls + 8.0 * b * p * n_cls) / 1e12
+
+
+def _xla_tflops(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"]) / 1e12
+    except Exception:
+        return None
 
 
 def main():
@@ -47,14 +67,17 @@ def main():
     task = 2
     bs = 8
     h, w = 540, 960  # padded to 544 on device
+    n_cls = 17
+    # optional dial override for perf exploration: `python bench.py 256`
+    n_buckets = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     model = build_model({"model": "OCRNet", "backbone": "resnet50",
                          "out_stride": 8}, task, dtype=jnp.bfloat16)
     # lovasz_impl "bucket" = the flagship config's recipe (sort-free Pallas
-    # histogram Lovász, O(1/2048) deviation from the exact sort path)
+    # histogram Lovász; trajectory-equivalence evidence in PERF.md section 7)
     loss_fn = build_loss({
         "name": "TwoScaleLoss",
         "lovasz_impl": "bucket",
-        "lovasz_buckets": 1024,   # paired-row kernel (PERF.md section 4)
+        "lovasz_buckets": n_buckets,   # paired-row kernel (PERF.md section 4)
         "interm": {"name": "LovaszSoftmax", "weight": 0.4},
         "final": {"name": "LovaszSoftmax", "weight": 1.0},
     }, task)
@@ -67,44 +90,68 @@ def main():
     images = jnp.asarray(rng.integers(0, 255, (bs, h, w, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 18, (bs, h, w), dtype=np.uint8))
 
-    train_step = make_train_step(loss_fn, spec, task)
+    # train_metrics="s8": the trainer's default with the fused bucket loss —
+    # the train-log confusion matrix comes from the stride-8 argmax and the
+    # full-res logit upsample is dead code (COVERAGE.md deviations)
+    train_step = make_train_step(loss_fn, spec, task, train_metrics="s8")
     key = jax.random.PRNGKey(1)
 
+    compiled_train = train_step.lower(state, images, labels, key, 0).compile()
     # compile + warmup
-    state, m = train_step(state, images, labels, key, 0)
+    state, m = compiled_train(state, images, labels, key, 0)
     jax.block_until_ready(m["loss"])
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, m = train_step(state, images, labels, key, 0)
+        state, m = compiled_train(state, images, labels, key, 0)
     jax.block_until_ready(m["loss"])
     train_dt = (time.perf_counter() - t0) / n_steps
     train_fps = bs / train_dt
 
-    eval_step = make_eval_step(spec, 17)
-    logits, _, cm = eval_step(state, images, labels)
+    eval_step = make_eval_step(spec, n_cls)
+    compiled_eval = eval_step.lower(state, images, labels).compile()
+    logits, _, cm = compiled_eval(state, images, labels)
     jax.block_until_ready(cm)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        logits, _, cm = eval_step(state, images, labels)
+        logits, _, cm = compiled_eval(state, images, labels)
     jax.block_until_ready(cm)
     infer_dt = (time.perf_counter() - t0) / n_steps
     infer_fps = bs / infer_dt
 
-    train_mfu = TRAIN_STEP_TFLOP / train_dt / V5E_PEAK_TFLOPS
-    infer_mfu = EVAL_STEP_TFLOP / infer_dt / V5E_PEAK_TFLOPS
+    # runtime FLOP accounting: XLA-counted + the Pallas histogram term
+    # (the kernels appear to XLA as zero-FLOP custom calls)
+    p_padded = bs * (h + 4) * (-(-w // 128) * 128)
+    hist_tflop = pallas_histogram_tflops(n_cls, p_padded, n_buckets)
+    train_xla = _xla_tflops(compiled_train)
+    eval_xla = _xla_tflops(compiled_eval)
+    train_tflop = (train_xla + hist_tflop) if train_xla is not None else None
+    train_mfu = (train_tflop / train_dt / V5E_PEAK_TFLOPS
+                 if train_tflop is not None else None)
+    infer_mfu = (eval_xla / infer_dt / V5E_PEAK_TFLOPS
+                 if eval_xla is not None else None)
+    fmt = lambda v: f"{v:.0%}" if v is not None else "n/a"
     print(f"# train: {train_dt * 1000:.1f} ms/step ({train_fps:.1f} fps, "
-          f"{train_mfu:.0%} MFU) | "
+          f"{fmt(train_mfu)} MFU of {train_tflop or float('nan'):.1f} TF) | "
           f"infer: {infer_dt * 1000:.1f} ms/step ({infer_fps:.1f} fps, "
-          f"{infer_mfu:.0%} MFU) | "
+          f"{fmt(infer_mfu)} MFU) | "
           f"infer_vs_baseline {infer_fps / A100_INFER_BASELINE_FPS:.2f}",
           file=sys.stderr)
+    lo, hi = A100_TRAIN_BRACKET_FPS
     print(json.dumps({
         "metric": "CaDIS 540x960 OCRNet-R50-os8 bs8 train frames/sec/chip "
                   f"(infer: {infer_fps:.1f})",
         "value": round(train_fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(train_fps / A100_TRAIN_BASELINE_FPS, 3),
+        "baseline_note": "A100 baseline is a roofline estimate "
+                         "(reference publishes no throughput; PERF.md s6)",
+        "baseline_bracket_fps": [lo, hi],
+        "vs_baseline_bracket": [round(train_fps / hi, 3),
+                                round(train_fps / lo, 3)],
+        "train_mfu": round(train_mfu, 3) if train_mfu is not None else None,
+        "infer_fps": round(infer_fps, 2),
+        "infer_mfu": round(infer_mfu, 3) if infer_mfu is not None else None,
     }))
 
 

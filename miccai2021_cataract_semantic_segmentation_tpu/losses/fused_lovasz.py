@@ -175,19 +175,57 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
              jnp.where(mask, e, 0.0).astype(jnp.bfloat16)], axis=0)
         return a2, b2t                                   # (HI, K), (4LO, K)
 
-    if paired:
-        def pair(c, _):
-            fg = lbl == c
-            fg_i = fg.astype(jnp.int32)
-            a_i, b_i = one_hots(c, fg, fg_i)
-            a_f, b_f = one_hots(c + n_cls, fg, fg_i)
-            a2 = jnp.concatenate([a_i, a_f], axis=0)     # (2HI, K)
-            b2t = jnp.concatenate([b_i, b_f], axis=0)    # (2*4LO, K)
+    quad = 4 * hi_n <= 128 and 4 * cols <= 128
+
+    def pair_one(c):
+        fg = lbl == c
+        fg_i = fg.astype(jnp.int32)
+        a_i, b_i = one_hots(c, fg, fg_i)
+        a_f, b_f = one_hots(c + n_cls, fg, fg_i)
+        a2 = jnp.concatenate([a_i, a_f], axis=0)         # (2HI, K)
+        b2t = jnp.concatenate([b_i, b_f], axis=0)        # (2*4LO, K)
+        acc = jax.lax.dot_general(
+            a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (2HI, 2*4LO)
+        out_ref[pl.ds(c, 1), :, :] += acc[:hi_n, :cols][None]
+        out_ref[pl.ds(c + n_cls, 1), :, :] += acc[hi_n:, cols:][None]
+
+    if quad:
+        # B <= 256 (hi_n <= 32): FOUR rows — both scales of TWO classes —
+        # stack into one 128-wide MXU pass, halving pass count again vs the
+        # paired layout (the pass is K-cycle-bound regardless of its N, so
+        # only pass count matters below the pairing threshold; measured in
+        # tools/loss_probe.py).
+        def quad_body(p, _):
+            c0 = 2 * p
+            c1 = c0 + 1
+            fg0 = lbl == c0
+            fg1 = lbl == c1
+            f0i, f1i = fg0.astype(jnp.int32), fg1.astype(jnp.int32)
+            a_i0, b_i0 = one_hots(c0, fg0, f0i)
+            a_f0, b_f0 = one_hots(c0 + n_cls, fg0, f0i)
+            a_i1, b_i1 = one_hots(c1, fg1, f1i)
+            a_f1, b_f1 = one_hots(c1 + n_cls, fg1, f1i)
+            a4 = jnp.concatenate([a_i0, a_f0, a_i1, a_f1], axis=0)  # (4HI, K)
+            b4 = jnp.concatenate([b_i0, b_f0, b_i1, b_f1], axis=0)  # (4cols, K)
             acc = jax.lax.dot_general(
-                a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (2HI, 2*4LO)
-            out_ref[pl.ds(c, 1), :, :] += acc[:hi_n, :cols][None]
-            out_ref[pl.ds(c + n_cls, 1), :, :] += acc[hi_n:, cols:][None]
+                a4, b4, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (4HI, 4cols)
+            out_ref[pl.ds(c0, 1), :, :] += acc[:hi_n, :cols][None]
+            out_ref[pl.ds(c0 + n_cls, 1), :, :] += \
+                acc[hi_n:2 * hi_n, cols:2 * cols][None]
+            out_ref[pl.ds(c1, 1), :, :] += \
+                acc[2 * hi_n:3 * hi_n, 2 * cols:3 * cols][None]
+            out_ref[pl.ds(c1 + n_cls, 1), :, :] += \
+                acc[3 * hi_n:, 3 * cols:][None]
+            return 0
+
+        jax.lax.fori_loop(0, n_cls // 2, quad_body, 0)
+        if n_cls % 2:
+            pair_one(n_cls - 1)
+    elif paired:
+        def pair(c, _):
+            pair_one(c)
             return 0
 
         jax.lax.fori_loop(0, n_cls, pair, 0)
@@ -257,8 +295,11 @@ def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
 
 
 def _bucket_split(n_buckets: int) -> tuple[int, int]:
-    """(hi, lo) for a bucket count; hi one-hot rows, 4*lo histogram cols."""
-    hi = 128 if n_buckets > 2048 else 64
+    """(hi, lo) for a bucket count; hi one-hot rows, 4*lo histogram cols.
+
+    hi shrinks with B so the MXU packing deepens: 64 enables the 2-row
+    paired layout (B <= 1024), 32 the 4-row quad layout (B <= 256)."""
+    hi = 128 if n_buckets > 2048 else (64 if n_buckets > 256 else 32)
     lo = n_buckets // hi
     if hi * lo != n_buckets or lo < 1 or 4 * lo > 128:
         raise ValueError(f"unsupported lovasz bucket count {n_buckets}")
@@ -479,6 +520,8 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
              jnp.where(mask, e, 0.0).astype(jnp.bfloat16)], axis=0)
         return a2, b2t
 
+    quad = 4 * hi_n <= 128 and 4 * cols <= 128
+
     def single(r):
         a2, b2t = one_hots(r)
         acc = jax.lax.dot_general(
@@ -486,18 +529,43 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
             preferred_element_type=jnp.float32)
         out_ref[pl.ds(r, 1), :, :] += acc[None]
 
-    if paired and n_cls >= 2:
-        def pair(p, _):
-            r0 = 2 * p
-            a0, b0 = one_hots(r0)
-            a1, b1 = one_hots(r0 + 1)
+    def pair_rows(r0):
+        a0, b0 = one_hots(r0)
+        a1, b1 = one_hots(r0 + 1)
+        acc = jax.lax.dot_general(
+            jnp.concatenate([a0, a1], axis=0),
+            jnp.concatenate([b0, b1], axis=0),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[pl.ds(r0, 1), :, :] += acc[:hi_n, :cols][None]
+        out_ref[pl.ds(r0 + 1, 1), :, :] += acc[hi_n:, cols:][None]
+
+    if quad and n_cls >= 4:
+        # B <= 256: four CLASSES per 128-wide MXU pass (see the two-scale
+        # kernel's quad layout)
+        def quad_body(p, _):
+            r0 = 4 * p
+            parts = [one_hots(r0 + i) for i in range(4)]
             acc = jax.lax.dot_general(
-                jnp.concatenate([a0, a1], axis=0),
-                jnp.concatenate([b0, b1], axis=0),
+                jnp.concatenate([a for a, _ in parts], axis=0),
+                jnp.concatenate([b for _, b in parts], axis=0),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            out_ref[pl.ds(r0, 1), :, :] += acc[:hi_n, :cols][None]
-            out_ref[pl.ds(r0 + 1, 1), :, :] += acc[hi_n:, cols:][None]
+                preferred_element_type=jnp.float32)      # (4HI, 4cols)
+            for i in range(4):
+                out_ref[pl.ds(r0 + i, 1), :, :] += \
+                    acc[i * hi_n:(i + 1) * hi_n, i * cols:(i + 1) * cols][None]
+            return 0
+
+        jax.lax.fori_loop(0, n_cls // 4, quad_body, 0)
+        rem = n_cls % 4
+        base = n_cls - rem
+        if rem >= 2:
+            pair_rows(base)
+        if rem % 2:
+            single(n_cls - 1)
+    elif paired and n_cls >= 2:
+        def pair(p, _):
+            pair_rows(2 * p)
             return 0
 
         jax.lax.fori_loop(0, n_cls // 2, pair, 0)
