@@ -25,8 +25,30 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+# One process-wide async checkpointer: device arrays are snapshotted
+# synchronously (cheap) and serialisation/IO runs on background threads, so
+# the epoch loop never blocks on disk. Orbax writes to a temp dir and
+# renames atomically — a crash mid-save can't corrupt the previous
+# checkpoint (the preemption-resilience story, SURVEY.md §5).
+_ASYNC: ocp.AsyncCheckpointer | None = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC
+    if _ASYNC is None:
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def wait_for_saves():
+    """Block until all pending async checkpoint writes are durable."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
+
+
 def save_checkpoint(ckpt_dir: str | pathlib.Path, name: str, state,
-                    epoch: int, best_miou: float, best_loss: float):
+                    epoch: int, best_miou: float, best_loss: float,
+                    blocking: bool = False):
     path = pathlib.Path(ckpt_dir) / f"chkpt_{name}"
     payload = {
         "params": state.params,
@@ -39,12 +61,17 @@ def save_checkpoint(ckpt_dir: str | pathlib.Path, name: str, state,
             "best_loss": np.asarray(best_loss),
         },
     }
-    _checkpointer().save(path.absolute(), payload, force=True)
+    ckptr = _async_checkpointer()
+    ckptr.wait_until_finished()  # at most one save in flight (depth-1 pipe)
+    ckptr.save(path.absolute(), payload, force=True)
+    if blocking:
+        ckptr.wait_until_finished()
 
 
 def restore_checkpoint(ckpt_dir: str | pathlib.Path, name: str,
                        state) -> tuple[Any, dict]:
     """Restore into the structure of `state`; returns (new_state, meta)."""
+    wait_for_saves()  # a just-issued async save must be durable first
     path = pathlib.Path(ckpt_dir) / f"chkpt_{name}"
     template = {
         "params": state.params,
@@ -66,6 +93,7 @@ def restore_checkpoint(ckpt_dir: str | pathlib.Path, name: str,
 def restore_params_only(ckpt_path: str | pathlib.Path, params_template,
                         batch_stats_template):
     """Inference-only restore ({params, batch_stats}) from any checkpoint."""
+    wait_for_saves()
     template = {"params": params_template, "batch_stats": batch_stats_template}
     restored = _checkpointer().restore(
         pathlib.Path(ckpt_path).absolute(), item=template)

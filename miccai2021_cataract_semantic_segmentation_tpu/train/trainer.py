@@ -439,12 +439,18 @@ class Trainer:
                   f"loss {float(running_loss) / len(batches):.4f} "
                   f"miou {float(bd['miou']):.4f} pa {float(pa):.4f} "
                   f"{timer.mean_ms:.0f} ms/step {fps:.1f} fps")
+            # train-mode epoch metrics (batch-stats BN), for callers that
+            # track training progress separately from eval-mode validation
+            self.train_metrics = {
+                "epoch": epoch, "miou": float(bd["miou"]), "pa": float(pa),
+                "loss": float(running_loss) / len(batches)}
             self.train_writer.scalar("metrics/epoch_miou", bd["miou"], epoch)
             self.train_writer.scalar("metrics/epoch_fps", fps, epoch)
             self.validate(epoch)
-        # final checkpoint (managers save at last epoch)
+        # final checkpoint (managers save at last epoch); block until all
+        # async saves are durable before returning
         ckpt.save_checkpoint(self.ckpt_dir, "last", self.state, self.epochs - 1,
-                             self.best_miou, self.best_loss)
+                             self.best_miou, self.best_loss, blocking=True)
         self.train_writer.figure(
             "ind_dist", index_histogram_figure(self.ind_counts), self.global_step)
         np.savez(self.run_dir / "ind_dist.npz", ind_counts=self.ind_counts)
