@@ -32,13 +32,15 @@ V5E_PEAK_TFLOPS = 197.0
 
 def pallas_histogram_tflops(n_cls: int, n_pixels_padded: int,
                             n_buckets: int) -> float:
-    """MXU FLOPs of the fused two-scale bucket-Lovász kernels per step
-    (losses/fused_lovasz.py). Forward packs the two scales of each class
-    into one (2*HI, K) x (8*LO, K) pass -> 2*(2*HI)*(8*LO)*P = 32*B*P FLOPs
-    per class; backward runs (2*LO, HI) x (HI, K) per row over 2C rows ->
-    8*B*P per class. One-hot/VPU work is not counted (VPU, not MXU)."""
+    """MXU ops of the fused two-scale bucket-Lovász kernels per step
+    (losses/fused_lovasz.py, count-only int8 histograms). Forward packs
+    the two scales of each class into one (2*HI, K) x (4*LO, K) int8 pass
+    -> 2*(2*HI)*(4*LO)*P = 16*B*P ops per class; backward runs
+    (2*LO, HI) x (HI, K) bf16 per row over 2C rows -> 8*B*P per class.
+    One-hot/VPU work is not counted (VPU, not MXU); int8 ops are counted
+    1:1 against the bf16 peak, slightly understating achievable MFU."""
     b, p = n_buckets, n_pixels_padded
-    return (32.0 * b * p * n_cls + 8.0 * b * p * n_cls) / 1e12
+    return (16.0 * b * p * n_cls + 8.0 * b * p * n_cls) / 1e12
 
 
 def _xla_tflops(compiled) -> float | None:

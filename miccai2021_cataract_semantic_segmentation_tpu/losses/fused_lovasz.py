@@ -22,13 +22,15 @@ everything in the layouts XLA produces natively:
     scratch refs: ref reads yield canonical-layout values and
     aligned-lane stores accept them.
 
-Bucket semantics are identical to losses/bucket_lovasz.py (mean-error
-within buckets, fg-first tie order), so the sort-vs-bucket tolerance tests
-transfer. The bucket count is a config dial (`lovasz_buckets`, default
-2048): histogram cost is provably proportional to B, and at B <= 1024 the
-columns are narrow enough to pack two rows into one full 128-wide MXU
-pass (see _nchw_fwd_kernel) — the flagship recipe ships with 1024
-(measured deviation vs the exact sort path ~4e-6, same as 2048).
+Histograms are COUNT-ONLY int8 one-hot matmuls into int32 (the v5e MXU
+runs int8 at twice the bf16 rate); the per-bucket error sums feeding the
+loss VALUE are reconstructed from bucket midpoints, which cannot change
+gradients — the custom VJP's tables are pure count functions
+(_bucket_midpoints). The bucket count is a config dial (`lovasz_buckets`):
+below the pass-packing thresholds the histogram cost is MXU-pass-count
+bound, and the hi/lo split shrinks with B so two rows (B <= 2048) or four
+rows (B <= 512) share one 128-wide pass (see _nchw_fwd_kernel). The
+flagship recipe ships with 1024.
 
 Entry points: `fused_two_scale_bucket_lovasz_s8` (OCRNet's TwoScaleLoss,
 both scales in one kernel pass; reference losses/TwoScaleLoss.py:43-52 +
@@ -125,13 +127,19 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
     `w` is the lane-padded width; lanes >= w_real are pad and are excluded
     from the histogram exactly (their bucket id is forced to -1).
 
-    Bucket split (hi_n, lo_n): columns per row are 4*lo_n. When both
-    2*hi_n <= 128 and 8*lo_n <= 128 (e.g. 1024 buckets as 64x16), the TWO
-    SCALES of each class are packed into ONE 128-wide MXU pass — their
-    one-hots stack along M and their column blocks along N; the diagonal
-    blocks of the product are the two histograms and the off-diagonal
-    garbage costs nothing because the systolic array is 128x128 anyway.
-    This halves the matmul passes vs one-row-per-pass."""
+    The histogram is COUNT-ONLY: columns are the 2*lo_n (bg|fg) occupancy
+    masks, matmul'd as int8 one-hots into int32 counts (the v5e MXU runs
+    int8 at twice the bf16 rate). The se sums are reconstructed outside
+    the kernel from bucket midpoints — gradients are unaffected because
+    the VJP tables are pure count functions (_bucket_midpoints).
+
+    Bucket split (hi_n, lo_n): when both 2*hi_n <= 128 and 4*lo_n <= 128
+    (e.g. 1024 buckets as 64x16), the TWO SCALES of each class are packed
+    into ONE 128-wide MXU pass — their one-hots stack along M and their
+    column blocks along N; the diagonal blocks of the product are the two
+    histograms and the off-diagonal garbage costs nothing because the
+    systolic array computes its full tile anyway. At hi_n <= 32 FOUR rows
+    (two classes x two scales) quad-pack per pass."""
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -140,7 +148,7 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
 
     k = bh * w
     n_b = hi_n * lo_n
-    cols = 4 * lo_n
+    cols = 2 * lo_n
     paired = 2 * hi_n <= 128 and 2 * cols <= 128
     sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
     for j in range(bh):
@@ -168,12 +176,9 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
         bid = jnp.where(keep, bid, -1)
         hi = jnp.where(bid < 0, -1, bid // lo_n)
         comb = jnp.where(bid < 0, -1, bid % lo_n + lo_n * fg_i)
-        a2 = (hi == iota_h).astype(jnp.bfloat16)         # (HI, K)
-        mask = comb == iota_c                            # (2LO, K)
-        b2t = jnp.concatenate(
-            [mask.astype(jnp.bfloat16),
-             jnp.where(mask, e, 0.0).astype(jnp.bfloat16)], axis=0)
-        return a2, b2t                                   # (HI, K), (4LO, K)
+        a2 = (hi == iota_h).astype(jnp.int8)             # (HI, K)
+        b2t = (comb == iota_c).astype(jnp.int8)          # (2LO, K)
+        return a2, b2t
 
     quad = 4 * hi_n <= 128 and 4 * cols <= 128
 
@@ -183,15 +188,15 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
         a_i, b_i = one_hots(c, fg, fg_i)
         a_f, b_f = one_hots(c + n_cls, fg, fg_i)
         a2 = jnp.concatenate([a_i, a_f], axis=0)         # (2HI, K)
-        b2t = jnp.concatenate([b_i, b_f], axis=0)        # (2*4LO, K)
+        b2t = jnp.concatenate([b_i, b_f], axis=0)        # (2*2LO, K)
         acc = jax.lax.dot_general(
             a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (2HI, 2*4LO)
+            preferred_element_type=jnp.int32)            # (2HI, 2*2LO)
         out_ref[pl.ds(c, 1), :, :] += acc[:hi_n, :cols][None]
         out_ref[pl.ds(c + n_cls, 1), :, :] += acc[hi_n:, cols:][None]
 
     if quad:
-        # B <= 256 (hi_n <= 32): FOUR rows — both scales of TWO classes —
+        # hi_n <= 32 (B <= 512): FOUR rows — both scales of TWO classes —
         # stack into one 128-wide MXU pass, halving pass count again vs the
         # paired layout (the pass is K-cycle-bound regardless of its N, so
         # only pass count matters below the pairing threshold; measured in
@@ -210,7 +215,7 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
             b4 = jnp.concatenate([b_i0, b_f0, b_i1, b_f1], axis=0)  # (4cols, K)
             acc = jax.lax.dot_general(
                 a4, b4, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (4HI, 4cols)
+                preferred_element_type=jnp.int32)        # (4HI, 4cols)
             out_ref[pl.ds(c0, 1), :, :] += acc[:hi_n, :cols][None]
             out_ref[pl.ds(c0 + n_cls, 1), :, :] += \
                 acc[hi_n:2 * hi_n, cols:2 * cols][None]
@@ -236,7 +241,7 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
             a2, b2t = one_hots(r, fg, fg.astype(jnp.int32))
             acc = jax.lax.dot_general(
                 a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (HI, 4LO)
+                preferred_element_type=jnp.int32)        # (HI, 2LO)
             out_ref[pl.ds(r, 1), :, :] += acc[None]
             return 0
 
@@ -295,15 +300,26 @@ def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
 
 
 def _bucket_split(n_buckets: int) -> tuple[int, int]:
-    """(hi, lo) for a bucket count; hi one-hot rows, 4*lo histogram cols.
+    """(hi, lo) for a bucket count; hi one-hot rows, 2*lo histogram cols
+    (count-only columns: bg|fg occupancy; see _nchw_fwd_kernel).
 
     hi shrinks with B so the MXU packing deepens: 64 enables the 2-row
-    paired layout (B <= 1024), 32 the 4-row quad layout (B <= 256)."""
-    hi = 128 if n_buckets > 2048 else (64 if n_buckets > 256 else 32)
+    paired layout (B <= 2048), 32 the 4-row quad layout (B <= 512)."""
+    hi = 128 if n_buckets > 2048 else (64 if n_buckets > 512 else 32)
     lo = n_buckets // hi
-    if hi * lo != n_buckets or lo < 1 or 4 * lo > 128:
+    if hi * lo != n_buckets or lo < 1 or 2 * lo > 128:
         raise ValueError(f"unsupported lovasz bucket count {n_buckets}")
     return hi, lo
+
+
+def _bucket_midpoints(n_buckets: int):
+    """Bucket-midpoint error values for reconstructing the se sums from
+    counts: se[b] ~= n[b] * (b + 0.5)/B. The VJP's gradient tables are pure
+    COUNT functions (see _losses_and_tables: g_fg/g_bg come from n1/n0
+    cumsums only), so this approximation shifts the reported loss VALUE by
+    at most 1/(2B) per pixel while leaving dL/dlogits bit-identical to the
+    exact-se variant."""
+    return (jnp.arange(n_buckets, dtype=jnp.float32) + 0.5) / n_buckets
 
 
 def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
@@ -322,21 +338,20 @@ def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
             pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2 * c, hi_n, 4 * lo_n), lambda i, j: (0, 0, 0),
+        out_specs=pl.BlockSpec((2 * c, hi_n, 2 * lo_n), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * c, hi_n, 4 * lo_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2 * c, hi_n, 2 * lo_n), jnp.int32),
         scratch_shapes=[pltpu.VMEM((2 * c, bh * w), jnp.float32),
                         pltpu.VMEM((c, bh, w), jnp.float32),
                         pltpu.VMEM((1, bh * w), jnp.int32)],
         interpret=_use_interpret(),
     )(labels, logits_i, logits_f)
     r = 2 * c
-    out = out.reshape(r, hi_n, 4, lo_n)
-    n_bg, n_fg = out[:, :, 0], out[:, :, 1]
-    se_bg, se_fg = out[:, :, 2], out[:, :, 3]
-    return jnp.stack([n_fg.reshape(r, n_buckets), n_bg.reshape(r, n_buckets),
-                      se_fg.reshape(r, n_buckets), se_bg.reshape(r, n_buckets)],
-                     axis=-1)
+    out = out.reshape(r, hi_n, 2, lo_n).astype(jnp.float32)
+    n_bg = out[:, :, 0].reshape(r, n_buckets)
+    n_fg = out[:, :, 1].reshape(r, n_buckets)
+    mid = _bucket_midpoints(n_buckets)
+    return jnp.stack([n_fg, n_bg, n_fg * mid, n_bg * mid], axis=-1)
 
 
 def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
@@ -488,7 +503,7 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
 
     k = bh * w
     n_b = hi_n * lo_n
-    cols = 4 * lo_n
+    cols = 2 * lo_n
     paired = 2 * hi_n <= 128 and 2 * cols <= 128
     sscr[...] = _softmax_rows(lg_ref[0].astype(jnp.float32))
     for j in range(bh):
@@ -496,7 +511,8 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
         lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
     lbl = lscr[0:1, :]
     valid = (lbl >= 0).astype(jnp.float32)
-    # ignore pixels excluded exactly via bid=-1 (see _nchw_fwd_kernel)
+    # ignore pixels excluded exactly via bid=-1; count-only int8 histogram
+    # columns (see _nchw_fwd_kernel)
     keep = lbl >= 0
     if w_real != w:
         kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
@@ -513,11 +529,8 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
         hi = jnp.where(bid < 0, -1, bid // lo_n)
         comb = jnp.where(bid < 0, -1,
                          bid % lo_n + lo_n * fg.astype(jnp.int32))
-        a2 = (hi == iota_h).astype(jnp.bfloat16)
-        mask = comb == iota_c
-        b2t = jnp.concatenate(
-            [mask.astype(jnp.bfloat16),
-             jnp.where(mask, e, 0.0).astype(jnp.bfloat16)], axis=0)
+        a2 = (hi == iota_h).astype(jnp.int8)
+        b2t = (comb == iota_c).astype(jnp.int8)
         return a2, b2t
 
     quad = 4 * hi_n <= 128 and 4 * cols <= 128
@@ -526,7 +539,7 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
         a2, b2t = one_hots(r)
         acc = jax.lax.dot_general(
             a2, b2t, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.int32)
         out_ref[pl.ds(r, 1), :, :] += acc[None]
 
     def pair_rows(r0):
@@ -536,13 +549,13 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
             jnp.concatenate([a0, a1], axis=0),
             jnp.concatenate([b0, b1], axis=0),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.int32)
         out_ref[pl.ds(r0, 1), :, :] += acc[:hi_n, :cols][None]
         out_ref[pl.ds(r0 + 1, 1), :, :] += acc[hi_n:, cols:][None]
 
     if quad and n_cls >= 4:
-        # B <= 256: four CLASSES per 128-wide MXU pass (see the two-scale
-        # kernel's quad layout)
+        # hi_n <= 32 (B <= 512): four CLASSES per 128-wide MXU pass (see
+        # the two-scale kernel's quad layout)
         def quad_body(p, _):
             r0 = 4 * p
             parts = [one_hots(r0 + i) for i in range(4)]
@@ -550,7 +563,7 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
                 jnp.concatenate([a for a, _ in parts], axis=0),
                 jnp.concatenate([b for _, b in parts], axis=0),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # (4HI, 4cols)
+                preferred_element_type=jnp.int32)        # (4HI, 4cols)
             for i in range(4):
                 out_ref[pl.ds(r0 + i, 1), :, :] += \
                     acc[i * hi_n:(i + 1) * hi_n, i * cols:(i + 1) * cols][None]
@@ -635,20 +648,19 @@ def _nchw1_histogram(logits, labels, bh: int, w_real: int, n_buckets: int):
             pl.BlockSpec((1, c, bh, w), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, hi_n, 4 * lo_n), lambda i, j: (0, 0, 0),
+        out_specs=pl.BlockSpec((c, hi_n, 2 * lo_n), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, hi_n, 4 * lo_n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, hi_n, 2 * lo_n), jnp.int32),
         scratch_shapes=[pltpu.VMEM((c, bh * w), jnp.float32),
                         pltpu.VMEM((c, bh, w), jnp.float32),
                         pltpu.VMEM((1, bh * w), jnp.int32)],
         interpret=_use_interpret(),
     )(labels, logits)
-    out = out.reshape(c, hi_n, 4, lo_n)
-    n_bg, n_fg = out[:, :, 0], out[:, :, 1]
-    se_bg, se_fg = out[:, :, 2], out[:, :, 3]
-    return jnp.stack([n_fg.reshape(c, n_buckets), n_bg.reshape(c, n_buckets),
-                      se_fg.reshape(c, n_buckets), se_bg.reshape(c, n_buckets)],
-                     axis=-1)
+    out = out.reshape(c, hi_n, 2, lo_n).astype(jnp.float32)
+    n_bg = out[:, :, 0].reshape(c, n_buckets)
+    n_fg = out[:, :, 1].reshape(c, n_buckets)
+    mid = _bucket_midpoints(n_buckets)
+    return jnp.stack([n_fg, n_bg, n_fg * mid, n_bg * mid], axis=-1)
 
 
 def _nchw1_grad(logits, labels, tbl, bh: int, w_real: int, n_buckets: int):
