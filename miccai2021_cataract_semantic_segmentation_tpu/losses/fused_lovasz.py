@@ -96,12 +96,27 @@ def _losses_and_tables(hist):
 # the softmax VJP) entirely in-kernel. No (C, P) array ever exists in HBM.
 # ---------------------------------------------------------------------------
 
-def _pick_bh(h: int) -> int:
-    """Largest block height <= 8 dividing H (W is lane-padded separately)."""
-    for bh in (8, 4, 2, 1):
-        if h % bh == 0:
+def _pick_bh(h: int, cap: int = 8) -> int:
+    """Largest block height <= cap dividing H (W is lane-padded separately).
+
+    Mosaic requires the block's second-minor dim to be a multiple of 8 (or
+    the full dim), so callers pad H to a multiple of 8 first (zero rows in
+    the interpolation matrix + ignore rows in the labels — both free).
+
+    The cap differs per direction: the fwd kernels fit bh=16 in VMEM and
+    halving the grid-cell count shaves per-cell overheads (15.3 -> 14.5 ms
+    measured at the bench shape); the two-scale bwd kernel's extra dscr/
+    output blocks put bh=16 76 KB over the 16 MB scoped-vmem limit, so
+    backward stays at 8."""
+    for bh in (cap, 8):
+        if h % bh == 0 and bh <= cap:
             return bh
-    return 1
+    raise ValueError(f"fused Lovász needs H padded to a multiple of 8, got {h}")
+
+
+_FWD_BH_CAP = 16
+_BWD_BH_CAP = 8      # two-scale bwd: bh=16 is 76 KB over the vmem limit
+_BWD1_BH_CAP = 16    # single-scale bwd carries half the blocks; 16 fits
 
 
 def _softmax_rows(x):
@@ -391,28 +406,31 @@ def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def lovasz_two_scale_nchw(logits_i, logits_f, labels, n_cls: int, bh: int,
-                          w_real: int, n_buckets: int = 2048):
+def lovasz_two_scale_nchw(logits_i, logits_f, labels, n_cls: int,
+                          bhs: tuple[int, int], w_real: int,
+                          n_buckets: int = 2048):
     """Two-scale bucket-Lovász core on (N, C, H, W_pad) f32 logit grids.
 
     `labels` (N, H, W_pad) i32 with ignore pixels pre-folded to -1 and pad
     lanes (>= w_real) set to -1. Softmax over C happens inside the kernels.
+    `bhs` = (forward, backward) kernel block heights (see _pick_bh).
     Returns (per_row (2C,), gts (2C,)) — rows [0, C) are the interm scale,
     [C, 2C) the final scale."""
     per_row, gts, _, _ = _losses_and_tables(
-        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real,
+        _nchw_histogram(logits_i, logits_f, labels, n_cls, bhs[0], w_real,
                         n_buckets))
     return per_row, gts
 
 
-def _nchw_fwd(logits_i, logits_f, labels, n_cls, bh, w_real, n_buckets):
+def _nchw_fwd(logits_i, logits_f, labels, n_cls, bhs, w_real, n_buckets):
     per_row, gts, g_fg, g_bg = _losses_and_tables(
-        _nchw_histogram(logits_i, logits_f, labels, n_cls, bh, w_real,
+        _nchw_histogram(logits_i, logits_f, labels, n_cls, bhs[0], w_real,
                         n_buckets))
     return (per_row, gts), (logits_i, logits_f, labels, g_fg, g_bg)
 
 
-def _nchw_bwd(n_cls, bh, w_real, n_buckets, res, cts):
+def _nchw_bwd(n_cls, bhs, w_real, n_buckets, res, cts):
+    bh = bhs[1]
     logits_i, logits_f, labels, g_fg, g_bg = res
     hi_n, lo_n = _bucket_split(n_buckets)
     ct = cts[0]
@@ -429,20 +447,24 @@ lovasz_two_scale_nchw.defvjp(_nchw_fwd, _nchw_bwd)
 
 
 def upsample_nchw(logits_small: jnp.ndarray, out_hw: tuple[int, int],
-                  align_corners: bool = True, w_pad: int | None = None
-                  ) -> jnp.ndarray:
-    """(N, h, w, C) -> (N, C, H, W[_pad]) f32 bilinear upsample as two
+                  align_corners: bool = True, w_pad: int | None = None,
+                  h_pad: int | None = None) -> jnp.ndarray:
+    """(N, h, w, C) -> (N, C, H[_pad], W[_pad]) f32 bilinear upsample as two
     dot_generals.
 
     The class transpose happens at stride-8 size; both contractions write
     natural row-major layouts, so the output feeds the NCHW kernels with no
-    relayout. `w_pad` zero-pads the interpolation matrix columns so the
-    output width is lane-aligned — the pad costs nothing in the matmul and
-    keeps the kernels' lane-concat flatten vreg-aligned."""
+    relayout. `w_pad` / `h_pad` zero-pad the interpolation matrix columns so
+    the output is lane-aligned (W) and block-height aligned (H) — the pads
+    cost nothing in the matmuls; H pad rows must be masked by the caller
+    (ignore-label rows)."""
     n, h, w, c = logits_small.shape
     oh, ow = out_hw
     acc = jnp.promote_types(logits_small.dtype, jnp.float32)
-    mh = jnp.asarray(_interp_matrix(h, oh, align_corners).T, acc)  # (h, H)
+    mh_np = _interp_matrix(h, oh, align_corners).T                 # (h, H)
+    if h_pad is not None and h_pad != oh:
+        mh_np = np.pad(mh_np, ((0, 0), (0, h_pad - oh)))
+    mh = jnp.asarray(mh_np, acc)
     mw_np = _interp_matrix(w, ow, align_corners).T                 # (w, W)
     if w_pad is not None and w_pad != ow:
         mw_np = np.pad(mw_np, ((0, 0), (0, w_pad - ow)))
@@ -451,7 +473,7 @@ def upsample_nchw(logits_small: jnp.ndarray, out_hw: tuple[int, int],
     t = t.reshape(n * c, h, w)
     x1 = jax.lax.dot_general(t, mh, (((1,), (0,)), ((), ())))   # (NC, w, H)
     x2 = jax.lax.dot_general(x1, mw, (((1,), (0,)), ((), ())))  # (NC, H, W)
-    return x2.reshape(n, c, oh, mw.shape[1])
+    return x2.reshape(n, c, mh.shape[1], mw.shape[1])
 
 
 # ---------------------------------------------------------------------------
@@ -471,14 +493,17 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
     lbl = labels.astype(jnp.int32)
     if classes_to_ignore is not None:
         lbl = jnp.where(lbl == classes_to_ignore, -1, lbl)
-    bh = _pick_bh(h)
+    h_pad = -(-h // 8) * 8
+    bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD_BH_CAP))
     w_pad = -(-w // 128) * 128
-    li = upsample_nchw(interm_logits_s8, (h, w), w_pad=w_pad).astype(jnp.float32)
-    lf = upsample_nchw(final_logits_s8, (h, w), w_pad=w_pad).astype(jnp.float32)
-    if w_pad != w:
-        lbl = jnp.pad(lbl, ((0, 0), (0, 0), (0, w_pad - w)),
+    li = upsample_nchw(interm_logits_s8, (h, w), w_pad=w_pad,
+                       h_pad=h_pad).astype(jnp.float32)
+    lf = upsample_nchw(final_logits_s8, (h, w), w_pad=w_pad,
+                       h_pad=h_pad).astype(jnp.float32)
+    if w_pad != w or h_pad != h:
+        lbl = jnp.pad(lbl, ((0, 0), (0, h_pad - h), (0, w_pad - w)),
                       constant_values=-1)
-    per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bh, w, n_buckets)
+    per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bhs, w, n_buckets)
     present = (gts > 0).astype(jnp.float32)
     pr_i, pr_f = present[:c], present[c:]
     loss_i = jnp.sum(per_row[:c] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
@@ -690,22 +715,24 @@ def _nchw1_grad(logits, labels, tbl, bh: int, w_real: int, n_buckets: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def lovasz_single_nchw(logits, labels, bh: int, w_real: int,
+def lovasz_single_nchw(logits, labels, bhs: tuple[int, int], w_real: int,
                        n_buckets: int = 2048):
     """Single-scale bucket-Lovász core on an (N, C, H, W_pad) f32 logit grid.
-    Returns (per_class (C,), gts (C,))."""
+    `bhs` = (forward, backward) block heights. Returns (per_class (C,),
+    gts (C,))."""
     per_class, gts, _, _ = _losses_and_tables(
-        _nchw1_histogram(logits, labels, bh, w_real, n_buckets))
+        _nchw1_histogram(logits, labels, bhs[0], w_real, n_buckets))
     return per_class, gts
 
 
-def _nchw1_fwd(logits, labels, bh, w_real, n_buckets):
+def _nchw1_fwd(logits, labels, bhs, w_real, n_buckets):
     per_class, gts, g_fg, g_bg = _losses_and_tables(
-        _nchw1_histogram(logits, labels, bh, w_real, n_buckets))
+        _nchw1_histogram(logits, labels, bhs[0], w_real, n_buckets))
     return (per_class, gts), (logits, labels, g_fg, g_bg)
 
 
-def _nchw1_bwd(bh, w_real, n_buckets, res, cts):
+def _nchw1_bwd(bhs, w_real, n_buckets, res, cts):
+    bh = bhs[1]
     logits, labels, g_fg, g_bg = res
     hi_n, lo_n = _bucket_split(n_buckets)
     ct = cts[0]
@@ -737,14 +764,15 @@ def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
     lbl = labels.astype(jnp.int32)
     if classes_to_ignore is not None:
         lbl = jnp.where(lbl == classes_to_ignore, -1, lbl)
-    bh = _pick_bh(h)
+    h_pad = -(-h // 8) * 8
+    bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD1_BH_CAP))
     w_pad = -(-w // 128) * 128
     lg = upsample_nchw(logits_s8, (h, w), align_corners=align_corners,
-                       w_pad=w_pad).astype(jnp.float32)
-    if w_pad != w:
-        lbl = jnp.pad(lbl, ((0, 0), (0, 0), (0, w_pad - w)),
+                       w_pad=w_pad, h_pad=h_pad).astype(jnp.float32)
+    if w_pad != w or h_pad != h:
+        lbl = jnp.pad(lbl, ((0, 0), (0, h_pad - h), (0, w_pad - w)),
                       constant_values=-1)
-    per_class, gts = lovasz_single_nchw(lg, lbl, bh, w, n_buckets)
+    per_class, gts = lovasz_single_nchw(lg, lbl, bhs, w, n_buckets)
     if classes_to_consider in (None, "present", "all"):
         class_mask = jnp.ones(c)
     else:

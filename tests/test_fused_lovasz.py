@@ -117,6 +117,39 @@ def test_fused_under_jit_and_odd_width():
     assert abs(float(got) - float(ref)) < 2e-3
 
 
+def test_fused_odd_height_padding():
+    """H not a multiple of 8 (e.g. unpadded 540-row CaDIS labels) exercises
+    the block-height padding path: zero rows in the interp matrix + -1 label
+    rows, exact by the same exclusion as lane padding. Value AND gradient
+    must match the sort oracle (grads on pad rows are zero by construction).
+
+    Round-3 regression: before the h_pad path, _pick_bh fell back to bh=4
+    and Mosaic rejected the (1, 4, W) label block on real TPUs."""
+    rng = np.random.default_rng(3)
+    n, h8, w8, c, H, W = 1, 9, 12, 4, 68, 96   # H = 68 % 8 == 4
+    li = jnp.asarray(rng.normal(size=(n, h8, w8, c)).astype(np.float32))
+    lf = jnp.asarray(rng.normal(size=(n, h8, w8, c)).astype(np.float32))
+    lbl = jnp.asarray(rng.integers(0, c, (n, H, W)).astype(np.int32))
+
+    def f_sort(a, b):
+        return fused_two_scale_lovasz(
+            resize_bilinear(a, (H, W), True), resize_bilinear(b, (H, W), True),
+            lbl, 0.4, 1.0, impl="sort")
+
+    def f_new(a, b):
+        return fused_two_scale_bucket_lovasz_s8(a, b, lbl, 0.4, 1.0)
+
+    got = jax.jit(f_new)(li, lf)
+    ref = f_sort(li, lf)
+    assert abs(float(got) - float(ref)) < 2e-3
+    gs = jax.grad(f_sort, argnums=(0, 1))(li, lf)
+    gn = jax.grad(f_new, argnums=(0, 1))(li, lf)
+    for a, b in zip(gs, gn):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.999
+
+
 @pytest.mark.parametrize("n_buckets", [512, 1024, 4096])
 def test_fused_bucket_counts(shapes, n_buckets):
     """`lovasz_buckets` dial: every supported split (incl. the paired-row
