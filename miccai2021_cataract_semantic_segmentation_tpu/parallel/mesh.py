@@ -16,6 +16,14 @@ parallelism is a first-class component:
     its local shard — `data.pipeline.device_put_batch` assembles the global
     batch via `jax.make_array_from_process_local_data` whenever
     `jax.process_count() > 1` (exercised in tests/test_multihost.py).
+  * BatchNorm under data parallelism is SYNC-BN by construction (SURVEY.md
+    §7 "hard parts"): the whole train step is one GSPMD program, so flax
+    BN's mean/var over the batch-sharded (N, H, W) axes are the exact
+    GLOBAL batch statistics — XLA inserts the cross-shard reductions.
+    This matches the single-device reference semantics bit-for-bit at 1
+    device and is the mathematically consistent extension at N (per-
+    replica BN would silently change the effective batch-stat size with
+    the mesh shape).
 """
 from __future__ import annotations
 
