@@ -54,9 +54,32 @@ def _xla_tflops(compiled) -> float | None:
 
 
 def main():
+    # Fail fast if the device backend can't come up (the axon tunnel can
+    # drop): backend discovery blocks inside C, so neither SIGALRM nor a
+    # KeyboardInterrupt can unstick it — a watchdog THREAD os._exit(3)s the
+    # process after 10 min unless cancelled. Benchmark compiles/runs are
+    # NOT under the watchdog.
+    import os
+    import threading
+
+    ok = threading.Event()
+
+    def _watchdog():
+        if not ok.wait(600):
+            print("bench.py: device backend did not initialize within "
+                  "600 s (TPU tunnel down?) — aborting", file=sys.stderr,
+                  flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    devices = jax.devices()
+    ok.set()
+    print(f"# devices: {devices}", file=sys.stderr, flush=True)
 
     from miccai2021_cataract_semantic_segmentation_tpu.data.transforms import DeviceAugmentSpec
     from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
