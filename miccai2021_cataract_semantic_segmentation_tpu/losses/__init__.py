@@ -188,10 +188,13 @@ def build_loss(loss_config: dict, task: int):
     if name == "LossWrapper":
         weightings = cfg["losses"]  # {loss name: weight}
         dc_off_at = cfg.get("dc_off_at_epoch")
+        _dc_names = ("DenseContrastiveLoss", "DenseContrastiveLossV2")
         terms = {}
         for lname in weightings:
             if lname == "TwoScaleLoss":
                 terms[lname] = build_two_scale(cfg.get("TwoScaleLoss", cfg), task)
+            elif lname in _dc_names:
+                terms[lname] = None  # dispatched on outputs below
             else:
                 terms[lname] = _single_loss(lname, cfg.get(lname, cfg), task)
 
@@ -204,6 +207,36 @@ def build_loss(loss_config: dict, task: int):
                                      labels,
                                      interm_s8=outputs.get("interm_logits_s8"),
                                      final_s8=outputs.get("logits_s8"))
+                elif lname in _dc_names:
+                    # DenseContrastive losses consume the projector features
+                    # (OCRNet_Manager.py:82-84 passes proj_features as the
+                    # wrapper's `deep_features` argument; EncDec passes the
+                    # model's deep_features). Reconstructed implementations —
+                    # the reference release omits the loss module itself
+                    # (losses/contrastive.py docstring).
+                    from miccai2021_cataract_semantic_segmentation_tpu.losses.contrastive import (
+                        dense_contrastive_loss, dense_contrastive_loss_v2)
+                    feats = outputs.get("proj_features",
+                                        outputs.get("deep_features"))
+                    if feats is None:
+                        raise ValueError(
+                            f"{lname} needs 'proj_features' or "
+                            "'deep_features' in the model outputs")
+                    dcfg = cfg.get(lname, cfg) if isinstance(cfg.get(lname), dict) else cfg
+                    if lname == "DenseContrastiveLoss":
+                        v = dense_contrastive_loss(
+                            feats, labels, task,
+                            temperature=dcfg.get("temperature", 0.1))
+                        # phase gate (LossWrapper.py:51-54): DC is ON before
+                        # dc_off_at_epoch and zeroed from it onward
+                        if dc_off_at is not None and epoch is not None:
+                            v = jnp.where(jnp.asarray(epoch) >= dc_off_at,
+                                          jnp.float32(0.0), v)
+                    else:  # V2 runs unconditionally (LossWrapper.py:57-58)
+                        v = dense_contrastive_loss_v2(
+                            feats, labels, task,
+                            temperature=dcfg.get("temperature", 0.1),
+                            anchor_stride=dcfg.get("anchor_stride", 4))
                 elif lname == "LovaszSoftmax" and dc_off_at is not None \
                         and epoch is not None:
                     # Phase switching (LossWrapper.py:45-50). `epoch` is a

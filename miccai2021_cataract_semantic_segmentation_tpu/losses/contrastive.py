@@ -1,0 +1,114 @@
+"""DenseContrastiveLoss / DenseContrastiveLossV2 — reconstructions.
+
+The reference's LossWrapper dispatches two dense-contrastive losses over the
+projector features (LossWrapper.py:50-58: `loss(labels, deep_features)`,
+phase-gated by `dc_off_at_epoch`), and the managers thread `proj_features`
+into the call (OCRNet_Manager.py:82-84) — but the release does NOT contain
+`DenseContrastiveLoss.py` itself: the import would fail if a config ever
+named it. These implementations reconstruct the missing component with the
+same call surface so `dc_off_at_epoch` phase training is actually usable:
+
+* `DenseContrastiveLoss` (V1): pixel-to-class-prototype InfoNCE. Class
+  prototypes are the batch-wide masked means of the L2-normalised projector
+  features; every valid feature pixel is attracted to its own class
+  prototype and repelled from the prototypes of the other classes present
+  in the batch.
+* `DenseContrastiveLossV2`: anchor-to-anchor supervised contrastive
+  (SupCon) over a strided subsample of feature pixels across the whole
+  batch — positives are anchors sharing a label, negatives all others.
+
+Both are deterministic (no RNG reaches the loss through the reference's
+LossWrapper signature) and fixed-shape, so they trace once under jit.
+Labels are nearest-downsampled to the feature grid; the task ignore class
+(and any label beyond num_classes, e.g. 255 pre-remap) is excluded from
+anchors, prototypes, and positives.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+
+_NEG = -1e9
+
+
+def _downsample_labels(labels: jnp.ndarray, hw) -> jnp.ndarray:
+    """Nearest-subsample NHW int labels to the feature grid (h, w)."""
+    n, H, W = labels.shape
+    h, w = hw
+    sy, sx = H // h, W // w
+    return labels[:, : h * sy : sy, : w * sx : sx]
+
+
+def _normalise(x, axis=-1, eps=1e-12):
+    """L2-normalise with finite gradients at x == 0 (absent-class prototypes
+    are exact zero vectors; d(x/||x||) at 0 is NaN under autodiff, while
+    x * rsqrt(||x||^2 + eps) is 0 with zero gradient there)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps)
+
+
+def dense_contrastive_loss(features: jnp.ndarray, labels: jnp.ndarray,
+                           task: int, temperature: float = 0.1) -> jnp.ndarray:
+    """V1: pixel-to-prototype InfoNCE.
+
+    features: (B, h, w, D) projector output (any dtype; promoted to f32).
+    labels:   (B, H, W) network-space ids at input resolution.
+    """
+    num_classes = taxonomy.TASK_NUM_CLASSES[task]
+    f = _normalise(features.astype(jnp.float32))
+    b, h, w, d = f.shape
+    lbl = _downsample_labels(labels.astype(jnp.int32), (h, w))
+    f = f.reshape(-1, d)                      # (P, D)
+    lbl = lbl.reshape(-1)                     # (P,)
+    valid = lbl < num_classes                 # ignore class / 255 excluded
+
+    # class prototypes: masked mean over the whole batch
+    onehot = jax.nn.one_hot(jnp.where(valid, lbl, num_classes),
+                            num_classes + 1, dtype=jnp.float32)[:, :num_classes]
+    counts = onehot.sum(axis=0)               # (C,)
+    protos = _normalise(onehot.T @ f / jnp.maximum(counts, 1.0)[:, None])
+    present = counts > 0
+
+    sims = f @ protos.T / temperature         # (P, C)
+    sims = jnp.where(present[None, :], sims, _NEG)
+    logp = jax.nn.log_softmax(sims, axis=-1)
+    per_pixel = -jnp.take_along_axis(
+        logp, jnp.where(valid, lbl, 0)[:, None], axis=1)[:, 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, per_pixel, 0.0).sum() / n_valid
+
+
+def dense_contrastive_loss_v2(features: jnp.ndarray, labels: jnp.ndarray,
+                              task: int, temperature: float = 0.1,
+                              anchor_stride: int = 4) -> jnp.ndarray:
+    """V2: anchor-to-anchor supervised contrastive (SupCon, Khosla et al.)
+    over a strided subsample of feature pixels across the batch.
+
+    For anchor i: L_i = -mean_{p in P(i)} log( exp(s_ip) / sum_{k != i} exp(s_ik) )
+    with P(i) the other valid anchors sharing i's label; anchors whose class
+    has no other positive in the batch are skipped.
+    """
+    num_classes = taxonomy.TASK_NUM_CLASSES[task]
+    f = _normalise(features.astype(jnp.float32))
+    b, h, w, d = f.shape
+    lbl = _downsample_labels(labels.astype(jnp.int32), (h, w))
+    s = anchor_stride
+    f = f[:, ::s, ::s, :].reshape(-1, d)      # (N, D)
+    lbl = lbl[:, ::s, ::s].reshape(-1)        # (N,)
+    valid = lbl < num_classes
+
+    sims = f @ f.T / temperature              # (N, N)
+    n = sims.shape[0]
+    not_self = ~jnp.eye(n, dtype=bool)
+    pair_valid = valid[:, None] & valid[None, :] & not_self
+    same = (lbl[:, None] == lbl[None, :]) & pair_valid
+
+    # log-softmax over each anchor's valid non-self pairs
+    masked = jnp.where(pair_valid, sims, _NEG)
+    logp = jax.nn.log_softmax(masked, axis=-1)
+    n_pos = same.sum(axis=-1)
+    per_anchor = -jnp.where(same, logp, 0.0).sum(axis=-1) / jnp.maximum(n_pos, 1)
+    use = valid & (n_pos > 0)
+    return jnp.where(use, per_anchor, 0.0).sum() / jnp.maximum(use.sum(), 1)
