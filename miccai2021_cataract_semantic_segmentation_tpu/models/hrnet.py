@@ -94,6 +94,54 @@ class _FuseModule(nn.Module):
         return fused
 
 
+def hrnet_trunk(x, train: bool, width: int, dtype) -> list:
+    """Stem + stage1 + stages 2-4 of HRNetv2; returns the 4 branch maps
+    (strides 4/8/16/32, widths w/2w/4w/8w).
+
+    A plain helper (not a submodule) so both `HRNetv2` and the OCRNet
+    hrnetv2-backbone path create the SAME parameter tree at the caller's
+    scope — the torch-checkpoint porter's key mapping is unchanged.
+    """
+    w = width
+    widths = [w, 2 * w, 4 * w, 8 * w]
+
+    # stem: two strided 3x3 convs (stride 4 total)
+    x = _ConvBNReLU(64, 3, 2, dtype=dtype, name="stem1")(x, train)
+    x = _ConvBNReLU(64, 3, 2, dtype=dtype, name="stem2")(x, train)
+
+    # stage 1: 4 Bottlenecks at width 32 (expansion 4 -> 128ch)
+    for b in range(4):
+        x = Bottleneck(w, stride=1, downsample=b == 0, bn_momentum=_BN,
+                       dtype=dtype, name=f"layer1_{b}")(x, train)
+
+    # transitions + stages 2-4
+    xs = [x]
+    for stage, n_br in ((2, 2), (3, 3), (4, 4)):
+        new_xs = []
+        for i in range(n_br):
+            if i < len(xs):
+                if xs[i].shape[-1] != widths[i]:
+                    new_xs.append(_ConvBNReLU(widths[i], 3, 1, dtype=dtype,
+                                              name=f"trans{stage}_{i}")(xs[i], train))
+                else:
+                    new_xs.append(xs[i])
+            else:  # new branch: strided conv off the lowest-res branch
+                new_xs.append(_ConvBNReLU(widths[i], 3, 2, dtype=dtype,
+                                          name=f"trans{stage}_{i}")(xs[-1], train))
+        xs = _FuseModule(tuple(widths[:n_br]), dtype=dtype,
+                         name=f"stage{stage}")(new_xs, train)
+    return xs
+
+
+def hrnet_concat(xs, align_corners: bool = False) -> jnp.ndarray:
+    """Concat all branches at 1/4 res (HRNetv2.py:505-513)."""
+    hw = xs[0].shape[1:3]
+    return jnp.concatenate(
+        [xs[0]] + [upsample_like(z, hw, align_corners=align_corners)
+                   for z in xs[1:]],
+        axis=-1)
+
+
 class HRNetv2(nn.Module):
     task: int = 2
     width: int = 32
@@ -103,40 +151,12 @@ class HRNetv2(nn.Module):
     def __call__(self, x, train: bool = False):
         num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
         in_hw = x.shape[1:3]
-        w = self.width
-        widths = [w, 2 * w, 4 * w, 8 * w]
+        widths = [self.width * m for m in (1, 2, 4, 8)]
 
-        # stem: two strided 3x3 convs (stride 4 total)
-        x = _ConvBNReLU(64, 3, 2, dtype=self.dtype, name="stem1")(x, train)
-        x = _ConvBNReLU(64, 3, 2, dtype=self.dtype, name="stem2")(x, train)
-
-        # stage 1: 4 Bottlenecks at width 32 (expansion 4 -> 128ch)
-        for b in range(4):
-            x = Bottleneck(w, stride=1, downsample=b == 0, bn_momentum=_BN,
-                           dtype=self.dtype, name=f"layer1_{b}")(x, train)
-
-        # transitions + stages 2-4
-        xs = [x]
-        for stage, n_br in ((2, 2), (3, 3), (4, 4)):
-            new_xs = []
-            for i in range(n_br):
-                if i < len(xs):
-                    if xs[i].shape[-1] != widths[i]:
-                        new_xs.append(_ConvBNReLU(widths[i], 3, 1, dtype=self.dtype,
-                                                  name=f"trans{stage}_{i}")(xs[i], train))
-                    else:
-                        new_xs.append(xs[i])
-                else:  # new branch: strided conv off the lowest-res branch
-                    new_xs.append(_ConvBNReLU(widths[i], 3, 2, dtype=self.dtype,
-                                              name=f"trans{stage}_{i}")(xs[-1], train))
-            xs = _FuseModule(tuple(widths[:n_br]), dtype=self.dtype,
-                             name=f"stage{stage}")(new_xs, train)
+        xs = hrnet_trunk(x, train, self.width, self.dtype)
 
         # head: concat all branches at 1/4 res, 1x1 conv-bn-relu, classifier
-        hw = xs[0].shape[1:3]
-        y = jnp.concatenate(
-            [xs[0]] + [upsample_like(z, hw, align_corners=False) for z in xs[1:]],
-            axis=-1)
+        y = hrnet_concat(xs)
         # the reference's last_layer 1x1 conv keeps torch's default bias
         # (HRNetv2.py:285-292) — required for checkpoint parity
         y = _ConvBNReLU(sum(widths), 1, bias=True, dtype=self.dtype,

@@ -127,17 +127,32 @@ class OCRNet(nn.Module):
     def __call__(self, x, train: bool = False):
         num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
         in_hw = x.shape[1:3]
-        feats = ResNetBackbone(self.backbone,
-                               _ocr_dilate_stages(self.backbone, self.out_stride),
-                               dtype=self.dtype, name="backbone")(x, train)
-        low, high = feats["layer3"], feats["layer4"]
+        if self.backbone.startswith("hrnetv2"):
+            # OCR-on-HRNet: the reference declares this combination "not yet
+            # implemented" (OCR.py:69) — provided here as an extension in the
+            # canonical HRNet-OCR layout (openseg): the four-branch trunk's
+            # concat map at stride 4 feeds BOTH the soft-region head and the
+            # pixel-feature conv. No reference checkpoints exist for it, so
+            # there is no porter mapping (COVERAGE.md extensions).
+            from miccai2021_cataract_semantic_segmentation_tpu.models.hrnet import (
+                hrnet_concat, hrnet_trunk)
+            width = (int(self.backbone.rsplit("_", 1)[1])
+                     if "_" in self.backbone else 32)
+            cat = hrnet_concat(hrnet_trunk(x, train, width, self.dtype))
+            low = high = cat
+            interm_stride = 1
+        else:
+            feats = ResNetBackbone(self.backbone,
+                                   _ocr_dilate_stages(self.backbone, self.out_stride),
+                                   dtype=self.dtype, name="backbone")(x, train)
+            low, high = feats["layer3"], feats["layer4"]
 
-        # soft object regions off layer3 (OCR.py:83-89). For resnet18/34 the
-        # backbone is never dilated, so layer3 sits at half layer4's grid —
-        # the reference *intends* a stride-2 interm head there but a
-        # double-assignment bug (OCR.py:80-82) leaves s==1 and the model
-        # crashes; we implement the intended stride.
-        interm_stride = 2 if self.backbone in ("resnet18", "resnet34") else 1
+            # soft object regions off layer3 (OCR.py:83-89). For resnet18/34
+            # the backbone is never dilated, so layer3 sits at half layer4's
+            # grid — the reference *intends* a stride-2 interm head there but
+            # a double-assignment bug (OCR.py:80-82) leaves s==1 and the
+            # model crashes; we implement the intended stride.
+            interm_stride = 2 if self.backbone in ("resnet18", "resnet34") else 1
         # use_bias=True: the reference leaves torch Conv2d's default bias on
         # these head convs (OCR.py:73,84) — required for checkpoint parity
         interm = ConvBN(512, 3, stride=interm_stride, use_bias=True,

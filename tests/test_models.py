@@ -100,6 +100,31 @@ def test_upernet_and_small_models():
         assert out["logits"].shape == (1, 32, 48, k), graph
 
 
+def test_ocrnet_hrnet_backbone():
+    """OCR-on-HRNet extension: the reference declares the combination "not
+    yet implemented" (OCR.py:69); here the HRNet trunk's stride-4 concat map
+    feeds both the soft-region head and the pixel-feature conv."""
+    m = build_model({"model": "OCRNet", "backbone": "hrnetv2"}, task=2)
+    variables, x = _init(m, (1, 32, 48, 3))
+    out = m.apply(variables, x)
+    assert out["logits"].shape == (1, 32, 48, 17)
+    assert out["interm_logits"].shape == (1, 32, 48, 17)
+    assert out["logits_s8"].shape == (1, 8, 12, 17)  # pre-upsample: stride 4
+
+    # the trunk must expose the SAME parameter tree as HRNetv2 itself (the
+    # shared hrnet_trunk helper guarantees porter-visible names): every
+    # non-head HRNetv2 param subtree appears here with identical shapes
+    hr = build_model({"model": "HRNetv2"}, task=2)
+    hr_vars, _ = _init(hr, (1, 32, 48, 3))
+    for key, sub in hr_vars["params"].items():
+        if key in ("head", "cls"):
+            continue
+        assert key in variables["params"], key
+        a = jax.tree.map(lambda v: v.shape, sub)
+        b = jax.tree.map(lambda v: v.shape, variables["params"][key])
+        assert a == b, key
+
+
 def test_pointrend_train_and_eval():
     graph = {"model": "PointRend", "encoder": {"model": "ResNet18"},
              "decoder": {"num_points": 16, "subdivision_num_points": 32}}
