@@ -114,6 +114,45 @@ def test_losswrapper_phase_gate_jit():
     assert float(t["LovaszSoftmax"]) > 0
 
 
+def test_trainer_dc_phase_recipe(tmp_path):
+    """End-to-end: the reference's dc_off_at_epoch phase recipe (contrastive
+    warmup -> segmentation loss) through the full Trainer, with an EncDec +
+    Projector graph (EncDec_Manager passes the projected deep_features to the
+    wrapper)."""
+    import pandas as pd
+    from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+    from miccai2021_cataract_semantic_segmentation_tpu.data import ArrayDataset
+    from miccai2021_cataract_semantic_segmentation_tpu.train import Trainer
+
+    rng = np.random.default_rng(0)
+    n = 4
+    ds = ArrayDataset(rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8),
+                      rng.integers(0, 8, (n, 32, 32), dtype=np.uint8))
+    rows = {"vid_num": np.ones(n, int), "blacklisted": np.zeros(n, int),
+            "relabeled": np.zeros(n, float)}
+    counts = rng.integers(0, 1000, (n, 36))
+    for i, name in enumerate(taxonomy.CANONICAL_NAMES):
+        rows[name] = counts[:, i]
+    df = pd.DataFrame(rows)
+    config = {
+        "name": "dc", "mode": "training",
+        "graph": {"model": "EncDec", "encoder": {"model": "ResNet18"},
+                  "decoder": {"model": "UPerNet", "channels": 32},
+                  "projector": {"d": 16}},
+        "data": {"experiment": 1, "batch_size": 4, "split": 0,
+                 "transforms": []},
+        "loss": {"losses": {"DenseContrastiveLoss": 1.0,
+                            "CrossEntropyLoss": 1.0},
+                 "dc_off_at_epoch": 1},
+        "train": {"epochs": 2, "learning_rate": 1e-3},
+        "log_path": str(tmp_path), "log_every_n_epochs": 1,
+        "precision": "f32", "max_valid_imgs": 1, "seed": 0,
+    }
+    t = Trainer(config, datasets=(ds, ds, df, df))
+    t.train()
+    assert "miou" in t.metrics and np.isfinite(t.metrics["miou"])
+
+
 def test_losswrapper_dc_requires_features():
     loss_fn = build_loss({"losses": {"DenseContrastiveLoss": 1.0}}, TASK)
     logits = jnp.zeros((1, 8, 8, C))
