@@ -96,9 +96,33 @@ def main():
             vals[impl] = float(v)
         assert abs(vals["bucket"] - vals["sort"]) < 2e-3, vals
 
+    def dense_contrastive():
+        # DCL V1+V2 through the LossWrapper phase gate at CaDIS shapes,
+        # value+grad, incl. the all-ignore edge (zero-anchor path)
+        loss_fn = build_loss({"losses": {"DenseContrastiveLoss": 1.0,
+                                         "DenseContrastiveLossV2": 0.5,
+                                         "LovaszSoftmax": 1.0},
+                              "dc_off_at_epoch": 10}, task)
+        proj = jnp.asarray(rng.normal(0, 1, (bs, 68, 120, 128)), jnp.float32)
+        logits = jnp.asarray(rng.normal(0, 2, (bs, h, w, c)), jnp.float32)
+        lbl = jnp.asarray(rng.integers(0, 18, (bs, h, w)), jnp.int32)
+
+        def run(p, lab, epoch):
+            def total(p):
+                return loss_fn({"logits": logits, "proj_features": p},
+                               lab, epoch=epoch)[0]
+            return jax.jit(jax.value_and_grad(total))(p)
+
+        v, g = run(proj, lbl, jnp.int32(0))
+        assert jnp.isfinite(v) and jnp.isfinite(g).all() and jnp.abs(g).max() > 0
+        v2, g2 = run(proj, jnp.full((bs, h, w), 17, jnp.int32), jnp.int32(0))
+        assert jnp.isfinite(v2) and jnp.isfinite(g2).all()
+
     check("fused two-scale bucket Lovász (540 rows + all-ignore)", two_scale)
     check("fused single-scale bucket Lovász (odd sizes)", single_odd)
     check("v1 bucket + exact sort Lovász (full-res)", v1_and_sort)
+    check("DenseContrastive V1+V2 wrapper (CaDIS shapes + all-ignore)",
+          dense_contrastive)
 
     if args.models:
         from miccai2021_cataract_semantic_segmentation_tpu.models import (
@@ -118,6 +142,8 @@ def main():
             ("UPerNet-Inceptionv3", {"model": "UPerNet",
                                      "encoder": {"model": "Inceptionv3"}}),
             ("HRNetv2-w18", {"model": "HRNetv2", "width": 18}),
+            ("OCRNet-hrnetv2_18", {"model": "OCRNet",
+                                   "backbone": "hrnetv2_18"}),
             ("FCN", {"model": "FCN", "width": 0.5}),
             ("UNet", {"model": "UNet", "width": 0.5}),
         ]
