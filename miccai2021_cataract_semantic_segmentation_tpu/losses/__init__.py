@@ -216,13 +216,28 @@ def build_loss(loss_config: dict, task: int):
                     # (losses/contrastive.py docstring).
                     from miccai2021_cataract_semantic_segmentation_tpu.losses.contrastive import (
                         dense_contrastive_loss, dense_contrastive_loss_v2)
-                    feats = outputs.get("proj_features",
-                                        outputs.get("deep_features"))
+                    feats = outputs.get("proj_features")
+                    if feats is None:
+                        feats = outputs.get("deep_features")
+                        if feats is not None:
+                            # reference-faithful for EncDec (its manager
+                            # passes raw encoder features when no projector
+                            # is configured) but worth being loud about:
+                            # contrasting un-projected backbone features is
+                            # a different recipe than the projector one.
+                            import warnings
+                            warnings.warn(
+                                f"{lname}: no 'proj_features' in model "
+                                "outputs — falling back to raw "
+                                "'deep_features' (add a 'projector' section "
+                                "to the graph config for the projected "
+                                "recipe)", stacklevel=2)
                     if feats is None:
                         raise ValueError(
                             f"{lname} needs 'proj_features' or "
                             "'deep_features' in the model outputs")
-                    dcfg = cfg.get(lname, cfg) if isinstance(cfg.get(lname), dict) else cfg
+                    sub = cfg.get(lname)
+                    dcfg = sub if isinstance(sub, dict) else cfg
                     if lname == "DenseContrastiveLoss":
                         v = dense_contrastive_loss(
                             feats, labels, task,

@@ -136,8 +136,10 @@ class OCRNet(nn.Module):
             # there is no porter mapping (COVERAGE.md extensions).
             from miccai2021_cataract_semantic_segmentation_tpu.models.hrnet import (
                 hrnet_concat, hrnet_trunk)
-            width = (int(self.backbone.rsplit("_", 1)[1])
-                     if "_" in self.backbone else 32)
+            # accept both "hrnetv2_18" and the openseg-style "hrnetv2_w18"
+            suffix = (self.backbone.rsplit("_", 1)[1].lstrip("w")
+                      if "_" in self.backbone else "")
+            width = int(suffix) if suffix else 32
             cat = hrnet_concat(hrnet_trunk(x, train, width, self.dtype))
             low = high = cat
             interm_stride = 1

@@ -57,6 +57,21 @@ def test_v1_downsamples_fullres_labels():
     assert np.allclose(float(a), float(b), rtol=1e-6)
 
 
+def test_downsample_labels_centre_aligned():
+    from miccai2021_cataract_semantic_segmentation_tpu.losses.contrastive import (
+        _downsample_labels)
+    # non-integer ratio (27 label rows over 8 feature rows): each sampled
+    # value must come from the centre of its feature cell, not drift
+    H, W, h, w = 27, 33, 8, 8
+    lbl = jnp.broadcast_to(jnp.arange(H)[None, :, None], (1, H, W))
+    ds = np.asarray(_downsample_labels(lbl, (h, w)))[0, :, 0]
+    expect = np.floor((np.arange(h) + 0.5) * H / h).astype(int)
+    assert np.array_equal(ds, expect)
+    # upsampling direction (H < h) is well-defined, no crash
+    up = _downsample_labels(jnp.zeros((1, 4, 4), jnp.int32), (8, 8))
+    assert up.shape == (1, 8, 8)
+
+
 def test_v1_grad_finite_and_nonzero():
     rng = np.random.default_rng(3)
     feats, lbl = _clustered_features(rng, noise=0.5)
@@ -159,3 +174,23 @@ def test_losswrapper_dc_requires_features():
     lbl = jnp.zeros((1, 8, 8), jnp.int32)
     with pytest.raises(ValueError, match="proj_features"):
         loss_fn({"logits": logits}, lbl, epoch=None)
+    # raw-deep_features fallback works (reference EncDec semantics) but warns
+    deep = jnp.ones((1, 4, 4, 8))
+    with pytest.warns(UserWarning, match="deep_features"):
+        total, _ = loss_fn({"logits": logits, "deep_features": deep}, lbl,
+                           epoch=None)
+    assert np.isfinite(float(total))
+
+
+def test_ocr_hrnet_width_spellings():
+    """Both 'hrnetv2_18' and openseg-style 'hrnetv2_w18' select width 18."""
+    from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
+    shapes = []
+    for name in ("hrnetv2_18", "hrnetv2_w18"):
+        m = build_model({"model": "OCRNet", "backbone": name}, 2)
+        v = m.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 3)), False)
+        shapes.append(jax.tree.map(lambda a: a.shape, v["params"]))
+    assert shapes[0] == shapes[1]
+    # width-18 trunk: first branch of stage2 is 18 channels wide
+    assert shapes[0]["stage2"]["branch0"]["block0"]["conv1"]["kernel"][-1] == 18

@@ -4,7 +4,7 @@ Captures a jax.profiler trace and parses the xplane protobuf directly
 (the tensorboard_plugin_profile converter is broken in this image): plane
 "/device:TPU:0", line "XLA Ops", event durations in picoseconds.
 
-    python tools/eval_profile.py [--steps 5] [--out /tmp/eval_prof.txt]
+    python tools/eval_profile.py [--steps 5] [--top 40]
 """
 from __future__ import annotations
 
