@@ -37,6 +37,56 @@ class BalancedConcatDataset:
         return self.max_len
 
 
+class SemiSupervisedView:
+    """Index-union view for end-to-end semi-supervised training.
+
+    Indices [0, len(labeled)) fetch labeled items unchanged; indices
+    [len(labeled), len(labeled)+len(unlabeled)) fetch unlabeled images
+    paired with an all-`ignore_id` label plane — the real pseudo-labels are
+    generated ON DEVICE inside the jitted train step (clipped_argmax of the
+    eval-mode forward, ops/misc.py; reference helper torch_utils.py:7-21).
+
+    Unlabeled members may return bare images, (img, ...) tuples (e.g.
+    VideoDataset's (frame, frame_idx, vid)), or (img, lbl, meta) items —
+    only the image is used.
+    """
+
+    def __init__(self, labeled, unlabeled, ignore_id: int):
+        self.labeled = labeled
+        self.unlabeled = unlabeled
+        self.ignore_id = int(ignore_id)
+
+    def __len__(self):
+        return len(self.labeled) + len(self.unlabeled)
+
+    def __getitem__(self, i: int):
+        import numpy as np
+        n_lab = len(self.labeled)
+        if i < n_lab:
+            return self.labeled[i]
+        item = self.unlabeled[i - n_lab]
+        img = item[0] if isinstance(item, tuple) else item
+        lbl = np.full(img.shape[:2], self.ignore_id, np.uint8)
+        return img, lbl, {"index": i, "unlabeled": True}
+
+
+def unlabeled_from_videos(data_path, train_df: pd.DataFrame,
+                          height: int = 540, width: int = 960):
+    """Build the unlabeled VideoDataset from the training split's surgery
+    mp4s under `data_path` (the reference's semi recipe: unlabeled frames
+    come from the full videos, semi_utis.py:26-46)."""
+    from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import VideoDataset
+    ids = sorted(int(v) for v in train_df["vid_num"].unique())
+    root = pathlib.Path(data_path or ".")
+    files = [root / f for f in video_files_from_split(ids)]
+    found = [f for f in files if f.is_file()]
+    if not found:
+        raise FileNotFoundError(
+            f"semi-supervised mode: no training-split videos under {root} "
+            f"(looked for {[str(f) for f in files[:3]]}...)")
+    return VideoDataset([str(f) for f in found], height, width)
+
+
 def video_files_from_split(ids, debug: bool = False) -> list[pathlib.Path]:
     """Split video ids -> mp4 paths in the CaDIS video release layout
     (semi_utis.py:26-46)."""

@@ -45,7 +45,10 @@ def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels):
 
 def _single_loss(name: str, cfg: dict, task: int):
     """A (logits, labels) -> scalar closure for one named loss."""
-    ign = taxonomy.ignore_index(task)
+    # cfg["ignore_index"] overrides the task default — the semi-supervised
+    # path marks below-threshold pseudo-label pixels with num_classes even
+    # on task 1 (which has no native ignore class)
+    ign = cfg.get("ignore_index", taxonomy.ignore_index(task))
     if name == "CrossEntropyLoss":
         w = cfg.get("weights")
         return lambda lg, lb: cross_entropy(lg, lb, ignore_index=ign, class_weights=w)
@@ -140,6 +143,13 @@ def build_semi_supervised(cfg: dict, task: int):
     TwoScale (interm+final) logits. Static batch split — jit-friendly."""
     lab_cfg = dict(cfg.get("labeled", {"name": "CrossEntropyLoss"}))
     ulab_cfg = dict(cfg.get("unlabeled", lab_cfg))
+    # pseudo-label pixels below the confidence threshold carry id
+    # num_classes (ops/misc.py:clipped_argmax); exclude them on every task —
+    # for tasks 2/3 this coincides with the standard ignore id, task 1 has
+    # no native ignore class so the default -1 would train on them
+    for c in (lab_cfg, ulab_cfg):
+        if c.get("name", "CrossEntropyLoss") == "CrossEntropyLoss":
+            c.setdefault("ignore_index", taxonomy.TASK_NUM_CLASSES[task])
     if lab_cfg["name"] != ulab_cfg["name"]:
         raise NotImplementedError(
             f"different labelled/unlabelled losses ({lab_cfg['name']} vs "

@@ -74,7 +74,8 @@ def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
 def make_train_step(loss_fn: Callable, spec, task: int,
                     has_point_head: bool = False, donate: bool = True,
                     mesh=None, data_axis: str = "data",
-                    train_metrics: str = "full", debug_pred: bool = False):
+                    train_metrics: str = "full", debug_pred: bool = False,
+                    semi: dict | None = None):
     """Build the jitted train step.
 
     loss_fn: (outputs dict, labels, epoch) -> (total, terms) from
@@ -90,6 +91,15 @@ def make_train_step(loss_fn: Callable, spec, task: int,
     eliminates it (~7 ms/step at 544x960x17 bs8). Train-log metric only;
     validation/inference always use full resolution (COVERAGE.md
     deviations).
+
+    semi: {"threshold": t, "ignore_id": k} enables on-device self-training
+    pseudo-labels (end-to-end wiring for the reference's SemiSupervisedLoss,
+    which the reference ships without a working path): the batch's second
+    half is treated as unlabeled — its labels are replaced by
+    clipped_argmax of an eval-mode forward of the current model on the same
+    augmented images (the reference's own pseudo-labelling helper,
+    torch_utils.py:7-21), with below-threshold pixels set to `ignore_id`.
+    stop_gradient keeps the teacher pass out of the backward graph.
     """
     compute_loss = (_sharded_loss(loss_fn, mesh, data_axis) if mesh is not None
                     else (lambda outputs, lbl, epoch:
@@ -99,6 +109,33 @@ def make_train_step(loss_fn: Callable, spec, task: int,
         rng = jax.random.fold_in(rng, state.step)
         aug_rng, points_rng, dropout_rng = jax.random.split(rng, 3)
         x, lbl = augment_batch(aug_rng, images_u8, labels_u8, spec, True)
+
+        lab_idx = unlab_idx = None
+        if semi is not None:
+            from miccai2021_cataract_semantic_segmentation_tpu.ops.misc import clipped_argmax
+            # shard-blocked layout (trainer._epoch_batches): with S data
+            # shards each contiguous block of batch/S samples is
+            # [labeled half | unlabeled half], so the per-shard loss's
+            # first-half/second-half split (SemiSupervisedLoss.py:44-84 via
+            # shard_map) sees the right samples on every shard. Index sets
+            # are Python-static, so the gathers trace to fixed slices.
+            import numpy as _np
+            n = x.shape[0]
+            n_sh = int(semi.get("n_shards", 1))
+            blk = n // n_sh
+            half = blk // 2
+            pos = _np.arange(n).reshape(n_sh, blk)
+            lab_idx = jnp.asarray(pos[:, :half].reshape(-1))
+            unlab_idx = jnp.asarray(pos[:, half:].reshape(-1))
+            teacher = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x[unlab_idx], False)
+            probs = jax.nn.softmax(
+                jax.lax.stop_gradient(teacher["logits"]).astype(jnp.float32),
+                axis=-1)
+            pseudo = clipped_argmax(probs, float(semi["threshold"]),
+                                    int(semi["ignore_id"]))
+            lbl = lbl.at[unlab_idx].set(pseudo.astype(lbl.dtype))
 
         def loss_of(params):
             outputs, mutated = state.apply_fn(
@@ -116,11 +153,18 @@ def make_train_step(loss_fn: Callable, spec, task: int,
             loss_of, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_stats)
         s8 = outputs.get("logits_s8", outputs.get("logits_s8_acf"))
+        # semi mode: train metrics over the LABELED samples only (the
+        # unlabeled half's "labels" are the model's own pseudo-labels —
+        # counting them would measure self-agreement, not accuracy)
+        cm_lg = outputs["logits"] if lab_idx is None \
+            else outputs["logits"][lab_idx]
+        cm_lbl = lbl if lab_idx is None else lbl[lab_idx]
         if train_metrics == "s8" and s8 is not None:
-            stride = lbl.shape[1] // s8.shape[1]
-            cm = confusion_matrix(s8, lbl[:, ::stride, ::stride])
+            cm_s8 = s8 if lab_idx is None else s8[lab_idx]
+            stride = cm_lbl.shape[1] // cm_s8.shape[1]
+            cm = confusion_matrix(cm_s8, cm_lbl[:, ::stride, ::stride])
         else:
-            cm = confusion_matrix(outputs["logits"], lbl)
+            cm = confusion_matrix(cm_lg, cm_lbl)
         metrics = {"loss": loss, **terms, "confusion_matrix": cm,
                    "grad_norm": optax.global_norm(grads)}
         if debug_pred:

@@ -80,8 +80,20 @@ class Trainer:
         self.pipeline = build_transform_pipeline(
             dcfg.get("transforms", ["pad"]), dcfg.get("transform_values", {}),
             self.task)
+        # semi-supervised mode: loss name SemiSupervisedLoss + an unlabeled
+        # source (5th element of `datasets`, or the training split's surgery
+        # videos under data_path). End-to-end wiring is an extension — the
+        # reference ships the loss and the semi helpers but no path uses
+        # them (COVERAGE.md extensions).
+        self.semi = ((config.get("loss") or {}).get("name")
+                     == "SemiSupervisedLoss" and self.mode == "training")
+        self.unlabeled_set = None
         if datasets is not None:
-            self.train_set, self.valid_set, self.train_df, self.valid_df = datasets
+            if len(datasets) == 5:
+                (self.train_set, self.valid_set, self.train_df,
+                 self.valid_df, self.unlabeled_set) = datasets
+            else:
+                self.train_set, self.valid_set, self.train_df, self.valid_df = datasets
         else:
             df = load_frame_table(dcfg.get("data_csv"), config.get("data_path"))
             self.train_df, self.valid_df = split_dataframes(
@@ -96,6 +108,25 @@ class Trainer:
                                         config.get("data_path"))
         self.batch_size = int(dcfg.get("batch_size", 8))
         self.valid_batch_size = int(config.get("valid_batch_size", 1))
+        if self.semi:
+            assert self.batch_size % 2 == 0, \
+                "semi-supervised mode splits each batch half/half " \
+                "(SemiSupervisedLoss.py:44-84); batch_size must be even"
+            if self.unlabeled_set is None:
+                from miccai2021_cataract_semantic_segmentation_tpu.data.semi import (
+                    unlabeled_from_videos)
+                self.unlabeled_set = unlabeled_from_videos(
+                    config.get("data_path"), self.train_df)
+            from miccai2021_cataract_semantic_segmentation_tpu.data.semi import (
+                SemiSupervisedView)
+            self._iter_set = SemiSupervisedView(
+                self.train_set, self.unlabeled_set,
+                taxonomy.TASK_NUM_CLASSES[self.task])
+        else:
+            self._iter_set = self.train_set
+        # labeled samples per batch: the semi batch is [labeled | unlabeled]
+        self.lab_batch_size = self.batch_size // 2 if self.semi \
+            else self.batch_size
 
         # per-epoch loader schedule (BaseManager.py:202-213)
         epochs = int(config["train"].get("epochs", 50))
@@ -154,7 +185,9 @@ class Trainer:
         # Data-parallel mesh over the largest device count that divides the
         # global batch (a 4-image batch on an 8-chip slice uses 4 chips).
         import math
-        n_use = math.gcd(self.batch_size, len(jax.devices()))
+        # semi mode shards by the LABELED half so each data shard holds an
+        # equal labeled/unlabeled block (see steps.py semi layout)
+        n_use = math.gcd(self.lab_batch_size, len(jax.devices()))
         self.mesh = make_mesh(devices=jax.devices()[:n_use]) if n_use > 1 else None
 
         has_points = config.get("graph", {}).get("model") == "PointRend" or \
@@ -169,11 +202,19 @@ class Trainer:
         # `debugging` (reference EncDec_Manager.py:86-94, 201-206): dump
         # per-batch img|gt|pred triptychs under <run_dir>/debug/
         self.debugging = bool(config.get("debugging", False))
+        semi_spec = None
+        if self.semi:
+            semi_spec = {
+                "threshold": float(loss_cfg.get("pseudo_threshold", 0.9)),
+                "ignore_id": taxonomy.TASK_NUM_CLASSES[self.task],
+                "n_shards": (self.mesh.shape["data"]
+                             if self.mesh is not None else 1)}
         self.train_step = make_train_step(self.loss_fn, self.pipeline.device,
                                           self.task, has_point_head=has_points,
                                           mesh=self.mesh,
                                           train_metrics=train_metrics,
-                                          debug_pred=self.debugging)
+                                          debug_pred=self.debugging,
+                                          semi=semi_spec)
         eval_spec = self.pipeline.device if self.pipeline.valid_pad else None
         num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
         self.eval_step = make_eval_step(eval_spec, num_classes)
@@ -298,8 +339,10 @@ class Trainer:
         return extra
 
     def _expected_steps(self, mode: str) -> int:
-        """Expected batches for one epoch of the given loader mode."""
-        n, bs = len(self.train_set), self.batch_size
+        """Expected batches for one epoch of the given loader mode. In semi
+        mode an epoch covers the LABELED set at half the batch size (the
+        other half is unlabeled, sampled with replacement)."""
+        n, bs = len(self.train_set), self.lab_batch_size
         if mode == "repeat_factor":
             return max(1, int(self._get_rf_sampler().repeat_factors.sum()) // bs)
         if mode == "oversampling":
@@ -309,7 +352,7 @@ class Trainer:
     def _epoch_batches(self, epoch: int, np_rng) -> np.ndarray:
         mode = self.train_schedule.get(epoch, "default")
         n = len(self.train_set)
-        bs = self.batch_size
+        bs = self.lab_batch_size
         if mode == "repeat_factor":
             batches = self._get_rf_sampler().epoch_batches(bs)
         elif mode == "oversampling":
@@ -341,8 +384,30 @@ class Trainer:
         # stochastic ~sum r(I)/bs batches, matching the reference's
         # drop_last=True DataLoader). Only guard against an empty epoch —
         # the batch *shape* stays static so the jitted step never recompiles.
-        return pad_or_trim_batches(batches, None) if len(batches) else \
+        batches = pad_or_trim_batches(batches, None) if len(batches) else \
             pad_or_trim_batches(batches, 1)
+        if self.semi:
+            # unlabeled half: uniform-with-replacement indices into the
+            # SemiSupervisedView's unlabeled range [n, n + n_unlab). Layout
+            # is SHARD-BLOCKED — with S data shards each contiguous block of
+            # batch/S columns is [labeled | unlabeled] so the per-shard loss
+            # split and the step's static index sets line up (steps.py).
+            u = n + np_rng.integers(0, len(self.unlabeled_set),
+                                    size=(len(batches),
+                                          self.batch_size - self.lab_batch_size))
+            n_sh = self.mesh.shape["data"] if self.mesh is not None else 1
+            lab = batches.reshape(len(batches), n_sh, -1)
+            unlab = u.reshape(len(u), n_sh, -1)
+            batches = np.concatenate([lab, unlab], axis=2).reshape(
+                len(batches), self.batch_size)
+        return batches
+
+    def _count_inds(self, batches: np.ndarray) -> None:
+        """ind_dist bookkeeping (EncDec_Manager.py:70-77) over the LABELED
+        indices; semi-mode unlabeled indices (>= len(train_set)) are not
+        tracked — the histogram describes labeled-sample usage."""
+        flat = batches.reshape(-1)
+        np.add.at(self.ind_counts, flat[flat < len(self.ind_counts)], 1)
 
     # --------------------------------------------------------------- train
     def train(self):
@@ -365,8 +430,7 @@ class Trainer:
         # dependent and restarts from its uniform prior.)
         for epoch in range(self.start_epoch):
             replayed = self._epoch_batches(epoch, np_rng)
-            for b in replayed.reshape(-1):
-                self.ind_counts[b] += 1
+            self._count_inds(replayed)
 
         # config {"profile_epoch": N} captures a jax.profiler trace of epoch
         # N's steps under <run_dir>/profile (tracing subsystem; SURVEY.md §5)
@@ -374,8 +438,7 @@ class Trainer:
 
         for epoch in range(self.start_epoch, self.epochs):
             batches = self._epoch_batches(epoch, np_rng)
-            for b in batches.reshape(-1):
-                self.ind_counts[b] += 1
+            self._count_inds(batches)
             running_cm = None
             running_loss = jnp.zeros(())
             adaptive = self.train_schedule.get(epoch) == "adaptive_batching"
@@ -394,7 +457,7 @@ class Trainer:
             if profile_epoch == epoch:
                 prof.enter_context(profile_steps(self.run_dir))
             for bi, (images, labels, idx) in enumerate(epoch_iterator(
-                    self.train_set, batches, self.pipeline,
+                    self._iter_set, batches, self.pipeline,
                     seed=self.seed + epoch, prefetch=2,
                     num_workers=int(self.config["data"].get("num_workers", 0)),
                     sharding=None if self.mesh is None else
