@@ -148,6 +148,7 @@ class VideoDataset:
     worker; frames are BGR->RGB converted and resized to (height, width)."""
 
     def __init__(self, video_paths: list[str], height: int = 540, width: int = 960):
+        import threading
         self.video_paths = [str(v) for v in video_paths]
         self.height, self.width = height, width
         self.frame_counts = []
@@ -157,6 +158,12 @@ class VideoDataset:
             cap.release()
         self.offsets = np.cumsum([0] + self.frame_counts)
         self._caps: dict[int, "cv2.VideoCapture"] = {}
+        # one capture handle per video, shared across reader threads
+        # (epoch_iterator num_workers > 0 path): seek+read must be atomic —
+        # concurrent cap.set/cap.read on one handle returns wrong/corrupt
+        # frames. Threads serialise per dataset; the multi-threaded video
+        # pipeline in train/video.py uses per-thread handles instead.
+        self._lock = threading.Lock()
 
     def __len__(self):
         return int(self.offsets[-1])
@@ -167,12 +174,13 @@ class VideoDataset:
 
     def __getitem__(self, idx: int):
         vid, frame_idx = self.locate(idx)
-        cap = self._caps.get(vid)
-        if cap is None:
-            cap = self._caps[vid] = cv2.VideoCapture(self.video_paths[vid])
-        if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != frame_idx:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
-        ok, frame = cap.read()
+        with self._lock:
+            cap = self._caps.get(vid)
+            if cap is None:
+                cap = self._caps[vid] = cv2.VideoCapture(self.video_paths[vid])
+            if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != frame_idx:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+            ok, frame = cap.read()
         if not ok:
             raise IOError(f"failed to read frame {frame_idx} of {self.video_paths[vid]}")
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)

@@ -69,12 +69,59 @@ class SemiSupervisedView:
         lbl = np.full(img.shape[:2], self.ignore_id, np.uint8)
         return img, lbl, {"index": i, "unlabeled": True}
 
+    def load_batch(self, indices):
+        """Keep SegDataset's native C++ parallel decode for the labeled part
+        of a mixed batch (data/pipeline.py:assemble_batch probes this hook):
+        labeled indices decode natively, unlabeled ones per-sample, stitched
+        back in order. Returns None (-> generic path) when the labeled
+        member has no native loader."""
+        import numpy as np
+        if not hasattr(self.labeled, "load_batch"):
+            return None
+        idx = np.asarray(indices)
+        n_lab = len(self.labeled)
+        lab_pos = np.flatnonzero(idx < n_lab)
+        native = self.labeled.load_batch(idx[lab_pos]) if len(lab_pos) else None
+        if native is None and len(lab_pos):
+            return None
+        if native is not None:
+            li, ll = native
+            imgs = np.empty((len(idx), *li.shape[1:]), li.dtype)
+            lbls = np.empty((len(idx), *ll.shape[1:]), np.uint8)
+            imgs[lab_pos], lbls[lab_pos] = li, ll
+        else:
+            img0, lbl0, _ = self[int(idx[0])]
+            imgs = np.empty((len(idx), *img0.shape), img0.dtype)
+            lbls = np.empty((len(idx), *lbl0.shape), np.uint8)
+        for k in np.flatnonzero(idx >= n_lab):
+            img, lbl, _ = self[int(idx[k])]
+            imgs[k], lbls[k] = img, lbl
+        return imgs, lbls
+
+
+class _IndexSubset:
+    """View of `base` restricted to `indices` (excludes GT-labelled frames
+    from the unlabeled video pool)."""
+
+    def __init__(self, base, indices):
+        import numpy as np
+        self.base = base
+        self.indices = np.asarray(indices, dtype=np.int64)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.base[int(self.indices[i])]
+
 
 def unlabeled_from_videos(data_path, train_df: pd.DataFrame,
                           height: int = 540, width: int = 960):
-    """Build the unlabeled VideoDataset from the training split's surgery
-    mp4s under `data_path` (the reference's semi recipe: unlabeled frames
-    come from the full videos, semi_utis.py:26-46)."""
+    """Build the unlabeled pool from the training split's surgery mp4s under
+    `data_path` (the reference's semi recipe: unlabeled frames come from the
+    full videos, semi_utis.py:26-46), EXCLUDING frames that carry ground
+    truth in `train_df` (excluded_frames_from_df, semi_utis.py:49-69)."""
+    import warnings
     from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import VideoDataset
     ids = sorted(int(v) for v in train_df["vid_num"].unique())
     root = pathlib.Path(data_path or ".")
@@ -84,7 +131,23 @@ def unlabeled_from_videos(data_path, train_df: pd.DataFrame,
         raise FileNotFoundError(
             f"semi-supervised mode: no training-split videos under {root} "
             f"(looked for {[str(f) for f in files[:3]]}...)")
-    return VideoDataset([str(f) for f in found], height, width)
+    if len(found) < len(files):
+        missing = [f.name for f in files if not f.is_file()]
+        warnings.warn(
+            f"semi-supervised mode: {len(missing)} of {len(files)} training-"
+            f"split videos missing under {root} ({missing[:5]}...) — the "
+            "unlabeled pool covers the found videos only", stacklevel=2)
+    vds = VideoDataset([str(f) for f in found], height, width)
+    excluded = excluded_frames_from_df(df=train_df, train_videos=ids)
+    keep = []
+    for v, path in enumerate(found):
+        m = re.search(r"train(\d+)\.mp4$", str(path))
+        vid_num = int(m.group(1)) if m else -1
+        drop = set(excluded.get(vid_num, ()))
+        base = int(vds.offsets[v])
+        keep.extend(base + f for f in range(vds.frame_counts[v])
+                    if f not in drop)
+    return _IndexSubset(vds, keep)
 
 
 def video_files_from_split(ids, debug: bool = False) -> list[pathlib.Path]:

@@ -143,13 +143,32 @@ def build_semi_supervised(cfg: dict, task: int):
     TwoScale (interm+final) logits. Static batch split — jit-friendly."""
     lab_cfg = dict(cfg.get("labeled", {"name": "CrossEntropyLoss"}))
     ulab_cfg = dict(cfg.get("unlabeled", lab_cfg))
-    # pseudo-label pixels below the confidence threshold carry id
-    # num_classes (ops/misc.py:clipped_argmax); exclude them on every task —
-    # for tasks 2/3 this coincides with the standard ignore id, task 1 has
-    # no native ignore class so the default -1 would train on them
+
+    # Pseudo-label pixels below the confidence threshold carry id
+    # num_classes (ops/misc.py:clipped_argmax); they must be EXCLUDED on
+    # every task — for tasks 2/3 that coincides with the standard ignore id,
+    # but task 1 has no native ignore class and the losses' defaults (-1 /
+    # none) would clip id 8 onto the last real class and train on it.
+    # Propagate per loss type; refuse losses with no ignore mechanism.
+    def _set_pseudo_ignore(c: dict) -> None:
+        name = c.get("name", "CrossEntropyLoss")
+        nc = taxonomy.TASK_NUM_CLASSES[task]
+        if name in ("CrossEntropyLoss", "OhemCrossEntropy", "FocalLoss"):
+            c.setdefault("ignore_index", nc)
+        elif name == "LovaszSoftmax":
+            c.setdefault("classes_to_ignore", nc)
+        elif name == "TwoScaleLoss":
+            for sub in ("interm", "final"):
+                c[sub] = dict(c.get(sub, {"name": "LovaszSoftmax"}))
+                _set_pseudo_ignore(c[sub])
+        else:  # GenDiceLoss / SoftIoU have no ignore mechanism
+            raise NotImplementedError(
+                f"SemiSupervisedLoss with '{name}' is unsupported: the loss "
+                "has no ignore mechanism for below-threshold pseudo-label "
+                "pixels")
+
     for c in (lab_cfg, ulab_cfg):
-        if c.get("name", "CrossEntropyLoss") == "CrossEntropyLoss":
-            c.setdefault("ignore_index", taxonomy.TASK_NUM_CLASSES[task])
+        _set_pseudo_ignore(c)
     if lab_cfg["name"] != ulab_cfg["name"]:
         raise NotImplementedError(
             f"different labelled/unlabelled losses ({lab_cfg['name']} vs "

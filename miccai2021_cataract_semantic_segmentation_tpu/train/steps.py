@@ -27,9 +27,23 @@ from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import augment_ba
 from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import confusion_matrix
 
 
-def _point_loss(outputs, labels, task: int):
+def _semi_part(a: jnp.ndarray, geom: tuple, labeled: bool) -> jnp.ndarray:
+    """Select the labeled (or unlabeled) samples of a shard-blocked semi
+    batch via reshape + static slice on the blocked axis — shard-local under
+    GSPMD (a flat index gather on the sharded batch axis could force
+    cross-chip all-gathers of full-resolution tensors)."""
+    n_sh, blk, half = geom
+    ab = a.reshape(n_sh, blk, *a.shape[1:])
+    part = ab[:, :half] if labeled else ab[:, half:]
+    m = half if labeled else blk - half
+    return part.reshape(n_sh * m, *a.shape[1:])
+
+
+def _point_loss(outputs, labels, task: int, ignore_override: int | None = None):
     """PointRend auxiliary CE on the sampled points (EncDec_Manager.py:158-178):
-    labels nearest-sampled at point_coords, CE with the task ignore index."""
+    labels nearest-sampled at point_coords, CE with the task ignore index
+    (or `ignore_override` — semi mode's pseudo-ignore id, which tasks 0/1
+    would otherwise train on)."""
     coords = outputs["point_coords"]
     lbl_f = labels[..., None].astype(jnp.float32)
     # nearest sampling == bilinear on a one-channel label grid rounded;
@@ -39,8 +53,10 @@ def _point_loss(outputs, labels, task: int):
     yi = jnp.clip(jnp.floor(coords[..., 1] * h), 0, h - 1).astype(jnp.int32)
     flat = labels.reshape(n, h * w)
     point_lbl = jnp.take_along_axis(flat, yi * w + xi, axis=1)
+    ign = taxonomy.ignore_index(task) if ignore_override is None \
+        else ignore_override
     return cross_entropy(outputs["point_logits"], point_lbl,
-                         ignore_index=taxonomy.ignore_index(task))
+                         ignore_index=ign)
 
 
 def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
@@ -110,32 +126,35 @@ def make_train_step(loss_fn: Callable, spec, task: int,
         aug_rng, points_rng, dropout_rng = jax.random.split(rng, 3)
         x, lbl = augment_batch(aug_rng, images_u8, labels_u8, spec, True)
 
-        lab_idx = unlab_idx = None
+        semi_geom = None
         if semi is not None:
             from miccai2021_cataract_semantic_segmentation_tpu.ops.misc import clipped_argmax
             # shard-blocked layout (trainer._epoch_batches): with S data
             # shards each contiguous block of batch/S samples is
             # [labeled half | unlabeled half], so the per-shard loss's
             # first-half/second-half split (SemiSupervisedLoss.py:44-84 via
-            # shard_map) sees the right samples on every shard. Index sets
-            # are Python-static, so the gathers trace to fixed slices.
-            import numpy as _np
+            # shard_map) sees the right samples on every shard. All
+            # selections are reshape + static slice on the blocked axis —
+            # shard-local under GSPMD, no cross-chip gathers of the
+            # full-res tensors.
             n = x.shape[0]
             n_sh = int(semi.get("n_shards", 1))
             blk = n // n_sh
             half = blk // 2
-            pos = _np.arange(n).reshape(n_sh, blk)
-            lab_idx = jnp.asarray(pos[:, :half].reshape(-1))
-            unlab_idx = jnp.asarray(pos[:, half:].reshape(-1))
+            semi_geom = (n_sh, blk, half)
+            x_unlab = _semi_part(x, semi_geom, labeled=False)
             teacher = state.apply_fn(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                x[unlab_idx], False)
+                x_unlab, False)
             probs = jax.nn.softmax(
                 jax.lax.stop_gradient(teacher["logits"]).astype(jnp.float32),
                 axis=-1)
             pseudo = clipped_argmax(probs, float(semi["threshold"]),
-                                    int(semi["ignore_id"]))
-            lbl = lbl.at[unlab_idx].set(pseudo.astype(lbl.dtype))
+                                    int(semi["ignore_id"])).astype(lbl.dtype)
+            lbl_b = lbl.reshape(n_sh, blk, *lbl.shape[1:])
+            pseudo_b = pseudo.reshape(n_sh, blk - half, *lbl.shape[1:])
+            lbl = jnp.concatenate([lbl_b[:, :half], pseudo_b],
+                                  axis=1).reshape(lbl.shape)
 
         def loss_of(params):
             outputs, mutated = state.apply_fn(
@@ -144,7 +163,10 @@ def make_train_step(loss_fn: Callable, spec, task: int,
                 rngs={"points": points_rng, "dropout": dropout_rng})
             total, terms = compute_loss(outputs, lbl, epoch)
             if has_point_head and "point_logits" in outputs:
-                p_loss = _point_loss(outputs, lbl, task)
+                p_loss = _point_loss(
+                    outputs, lbl, task,
+                    ignore_override=(int(semi["ignore_id"])
+                                     if semi is not None else None))
                 terms = {**terms, "point_loss": p_loss}
                 total = total + p_loss
             return total, (terms, mutated["batch_stats"], outputs)
@@ -156,11 +178,11 @@ def make_train_step(loss_fn: Callable, spec, task: int,
         # semi mode: train metrics over the LABELED samples only (the
         # unlabeled half's "labels" are the model's own pseudo-labels —
         # counting them would measure self-agreement, not accuracy)
-        cm_lg = outputs["logits"] if lab_idx is None \
-            else outputs["logits"][lab_idx]
-        cm_lbl = lbl if lab_idx is None else lbl[lab_idx]
+        cm_lg = outputs["logits"] if semi_geom is None \
+            else _semi_part(outputs["logits"], semi_geom, labeled=True)
+        cm_lbl = lbl if semi_geom is None else _semi_part(lbl, semi_geom, True)
         if train_metrics == "s8" and s8 is not None:
-            cm_s8 = s8 if lab_idx is None else s8[lab_idx]
+            cm_s8 = s8 if semi_geom is None else _semi_part(s8, semi_geom, True)
             stride = cm_lbl.shape[1] // cm_s8.shape[1]
             cm = confusion_matrix(cm_s8, cm_lbl[:, ::stride, ::stride])
         else:

@@ -142,7 +142,7 @@ class Trainer:
                     self.train_schedule[e] = loader
 
         self._samplers: dict = {}
-        self.steps_per_epoch = max(1, len(self.train_set) // self.batch_size)
+        self.steps_per_epoch = max(1, len(self.train_set) // self.lab_batch_size)
         # Expected steps per epoch differs by loader: repeat-factor epochs
         # run ~sum r(I)/bs batches (repeat_factor_sampling.py:102-131),
         # oversampling epochs (n+extra)/bs (BaseManager.py:326-349); the LR
@@ -218,7 +218,16 @@ class Trainer:
         eval_spec = self.pipeline.device if self.pipeline.valid_pad else None
         num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
         self.eval_step = make_eval_step(eval_spec, num_classes)
-        self.eval_loss_step = make_eval_loss_step(self.loss_fn, eval_spec)
+        # Validation batches are fully labeled, so in semi mode the valid
+        # loss uses the LABELED term alone — the semi loss would split the
+        # GT batch half/half and mis-weight it (at valid_batch_size=1 the
+        # labeled slice would even be empty).
+        valid_loss_fn = self.loss_fn
+        if self.semi:
+            valid_loss_fn = build_loss(
+                dict(loss_cfg.get("labeled", {"name": "CrossEntropyLoss"})),
+                self.task)
+        self.eval_loss_step = make_eval_loss_step(valid_loss_fn, eval_spec)
 
         # bookkeeping ------------------------------------------------------
         self.train_writer = TBLogger(self.run_dir / "train")

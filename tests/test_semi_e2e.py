@@ -81,6 +81,34 @@ def test_semi_step_threshold_gates_unlabeled_loss():
     np.testing.assert_allclose(hi["labeled"], lo["labeled"], rtol=1e-5)
 
 
+def test_semi_pseudo_ignore_propagates_per_loss_type():
+    """Below-threshold pseudo pixels (id = num_classes) must be excluded by
+    every supported loss, incl. on task 1 which has no native ignore class;
+    losses with no ignore mechanism are refused."""
+    import pytest
+    from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
+
+    task, n_cls = 1, 8
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((2, 16, 16, n_cls)).astype(np.float32))
+    lbl = rng.integers(0, n_cls, (2, 16, 16)).astype(np.int32)
+    lbl_ign = lbl.copy()
+    lbl_ign[1, :8, :] = n_cls  # pseudo-ignore pixels in the unlabeled half
+    for name in ("CrossEntropyLoss", "OhemCrossEntropy", "LovaszSoftmax"):
+        fn = build_loss({"name": "SemiSupervisedLoss",
+                         "labeled": {"name": name, "weight": 1.0}}, task)
+        v, _ = fn({"logits": logits}, jnp.asarray(lbl_ign), epoch=None)
+        assert np.isfinite(float(v)), name
+        # corrupting logits under the ignored pixels must not change the loss
+        bad = np.asarray(logits).copy()
+        bad[1, :8, :, :] = 100.0 * rng.standard_normal(bad[1, :8, :, :].shape)
+        v2, _ = fn({"logits": jnp.asarray(bad)}, jnp.asarray(lbl_ign), epoch=None)
+        np.testing.assert_allclose(float(v), float(v2), rtol=1e-4, err_msg=name)
+    with pytest.raises(NotImplementedError, match="ignore mechanism"):
+        build_loss({"name": "SemiSupervisedLoss",
+                    "labeled": {"name": "GenDiceLoss"}}, task)
+
+
 def test_trainer_semi_end_to_end(tmp_path):
     from miccai2021_cataract_semantic_segmentation_tpu.train import Trainer
     lab, rng = _sets()
