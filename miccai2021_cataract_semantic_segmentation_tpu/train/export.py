@@ -1,0 +1,110 @@
+"""AOT serving export (extension; the reference has no serving story —
+`BaseManager.infer`/`demo_infer` re-run the eager torch graph per frame,
+BaseManager.py:640-741).
+
+Serialises the complete inference program — uint8 preprocessing (pad +
+ImageNet normalise), the model forward, and the prediction head (argmax +
+confidence) — as one portable `jax.export` StableHLO artifact with a
+*symbolic batch dimension*, so a single artifact serves any batch size.
+Trained weights are baked in as constants: the artifact is reloadable and
+executable by any JAX process (CPU or TPU) WITHOUT this framework, the
+model code, or the checkpoint — exactly what a production serving fleet
+wants to deploy.
+
+Contract: input `(b, H, W, 3) uint8` RGB frames at dataset resolution
+(540x960 for CaDIS); output `{"pred": (b, H', W') uint8 task-class ids,
+"confidence": (b, H', W') float32 max softmax probability}` where H'/W'
+include the reference's 2px vertical reflect pad when the transform list
+pads (540 -> 544, utils/utils.py:332-450) — crop the two boundary rows on
+the host if undesired. `confidence` feeds downstream pseudo-labelling /
+quality monitoring (same quantity as `clipped_argmax`'s threshold input,
+torch_utils.py:7-21).
+"""
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+
+from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
+    IMAGENET_MEAN, IMAGENET_STD, pad_reflect_hw)
+
+SUFFIX = ".jaxexport"
+
+
+def make_serving_fn(apply_fn, variables, spec):
+    """Pure serving function closing over trained `variables`.
+
+    `spec` is the device-transform spec (pipeline.device) or None; only its
+    `pad` / `normalise` flags apply at inference (the eval pipeline is
+    deterministic — same preprocessing as `make_eval_step`).
+    """
+    pad = spec is not None and getattr(spec, "pad", False)
+    normalise = spec is not None and getattr(spec, "normalise", False)
+
+    def serve(images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        if pad:
+            x = pad_reflect_hw(x)
+        if normalise:
+            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        outputs = apply_fn(variables, x, False)
+        logits = outputs["logits"]
+        pred = jnp.argmax(logits, -1).astype(jnp.uint8)
+        # max softmax prob without materialising the full softmax twice
+        lmax = jnp.max(logits, -1, keepdims=True)
+        conf = 1.0 / jnp.sum(jnp.exp(logits - lmax), -1)
+        return {"pred": pred, "confidence": conf.astype(jnp.float32)}
+
+    return serve
+
+
+def export_serving(apply_fn, variables, spec, image_hw, *, batch=None,
+                   platforms=None):
+    """Export the serving program; returns the `jax.export.Exported`.
+
+    batch=None exports a symbolic batch axis `b`; an int pins it.
+    `platforms`: e.g. ("cpu", "tpu") for a cross-platform artifact; None
+    lowers for the current default backend only.
+    """
+    serve = make_serving_fn(apply_fn, variables, spec)
+    h, w = image_hw
+    if batch is None:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    arg = jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax.export.export(jax.jit(serve), **kwargs)(arg)
+
+
+def save_serving(exported, path) -> pathlib.Path:
+    path = pathlib.Path(path)
+    if path.suffix != SUFFIX:
+        path = path.with_suffix(path.suffix + SUFFIX)
+    path.write_bytes(exported.serialize())
+    return path
+
+
+def load_serving(path):
+    """Round-trip a saved artifact into a callable — needs only jax, not
+    the framework (model code, checkpoints, configs all already baked in)."""
+    data = pathlib.Path(path).read_bytes()
+    exported = jax.export.deserialize(data)
+    return jax.jit(exported.call)
+
+
+def export_trainer(trainer, path, *, batch=None, platforms=None):
+    """Export a Trainer's current inference state (call after
+    `load_checkpoint('best')`). Uses the valid-set image resolution."""
+    _, lbl, _ = trainer.valid_set[0]
+    h, w = lbl.shape
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    spec = trainer.pipeline.device if trainer.pipeline.valid_pad else None
+    exported = export_serving(trainer.state.apply_fn, variables, spec,
+                              (h, w), batch=batch, platforms=platforms)
+    return save_serving(exported, path)

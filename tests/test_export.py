@@ -1,0 +1,80 @@
+"""AOT serving export (train/export.py): symbolic-batch round-trip parity.
+
+The artifact must reload via bare jax.export.deserialize (no framework
+objects) and reproduce the framework's own eval preprocessing + forward
+bit-for-bit at multiple batch sizes through the one serialized program.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miccai2021_cataract_semantic_segmentation_tpu.data.transforms import DeviceAugmentSpec
+from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
+from miccai2021_cataract_semantic_segmentation_tpu.train import export as exp
+
+
+def _small_model_and_vars(task=2):
+    model = build_model({"model": "FCN", "width": 0.1}, task)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 36, 64, 3), jnp.float32)
+    variables = model.init({"params": rng}, x, False)
+    return model, variables
+
+
+def test_export_symbolic_batch_round_trip(tmp_path):
+    model, variables = _small_model_and_vars()
+    spec = DeviceAugmentSpec(pad=True, normalise=True)
+    exported = exp.export_serving(model.apply, variables, spec, (32, 64))
+    path = exp.save_serving(exported, tmp_path / "fcn")
+    assert path.suffix == exp.SUFFIX
+
+    served = exp.load_serving(path)
+    direct = exp.make_serving_fn(model.apply, variables, spec)
+
+    rng = np.random.default_rng(0)
+    for b in (1, 3):
+        imgs = jnp.asarray(rng.integers(0, 256, (b, 32, 64, 3), np.uint8))
+        got = served(imgs)
+        want = direct(imgs)
+        # pad=True: 32 -> 36 rows
+        assert got["pred"].shape == (b, 36, 64)
+        assert got["pred"].dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(got["pred"]),
+                                      np.asarray(want["pred"]))
+        np.testing.assert_allclose(np.asarray(got["confidence"]),
+                                   np.asarray(want["confidence"]), atol=1e-6)
+        conf = np.asarray(got["confidence"])
+        assert conf.min() > 0.0 and conf.max() <= 1.0 + 1e-6
+
+
+def test_export_trainer_from_run(tmp_path):
+    """tools/export_serving.py path: train a mini run, export its state,
+    serve at the valid-set resolution."""
+    from tests.test_train import _mini_trainer
+    t = _mini_trainer(tmp_path)
+    t.train()
+    t.load_checkpoint("best")
+    path = exp.export_trainer(t, tmp_path / "run_export")
+    served = exp.load_serving(path)
+    imgs = jnp.asarray(np.random.default_rng(2).integers(
+        0, 256, (2, 32, 32, 3), np.uint8))
+    out = served(imgs)
+    # transforms=["flip"] -> no pad; task 1 preds in 0..7
+    assert out["pred"].shape == (2, 32, 32)
+    assert int(np.asarray(out["pred"]).max()) < 8
+
+
+def test_export_artifact_is_self_contained(tmp_path):
+    """Reload through raw jax.export only — no framework imports in the
+    consuming path (what a serving fleet would run)."""
+    model, variables = _small_model_and_vars()
+    exported = exp.export_serving(model.apply, variables, None, (32, 64),
+                                  batch=2)
+    path = exp.save_serving(exported, tmp_path / "pinned")
+
+    raw = jax.export.deserialize(path.read_bytes())
+    imgs = jnp.asarray(np.random.default_rng(1).integers(
+        0, 256, (2, 32, 64, 3), np.uint8))
+    out = raw.call(imgs)
+    assert out["pred"].shape == (2, 32, 64)  # no pad without spec
+    assert np.isfinite(np.asarray(out["confidence"])).all()

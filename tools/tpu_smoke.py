@@ -118,11 +118,40 @@ def main():
         v2, g2 = run(proj, jnp.full((bs, h, w), 17, jnp.int32), jnp.int32(0))
         assert jnp.isfinite(v2) and jnp.isfinite(g2).all()
 
+    def serving_export():
+        # AOT export round-trip on the chip: symbolic-batch artifact,
+        # deserialize, run at two batch sizes, match the live forward
+        import tempfile
+
+        from miccai2021_cataract_semantic_segmentation_tpu.data.transforms import (
+            DeviceAugmentSpec)
+        from miccai2021_cataract_semantic_segmentation_tpu.models import (
+            build_model)
+        from miccai2021_cataract_semantic_segmentation_tpu.train import (
+            export as exp)
+        m = build_model({"model": "FCN", "width": 0.25}, task)
+        vs = m.init({"params": jax.random.PRNGKey(0)},
+                    jnp.zeros((1, 128, 256, 3), jnp.float32), False)
+        spec = DeviceAugmentSpec(pad=True, normalise=True)
+        exported = exp.export_serving(m.apply, vs, spec, (124, 256))
+        with tempfile.TemporaryDirectory() as d:
+            path = exp.save_serving(exported, d + "/m")
+            served = exp.load_serving(path)
+            direct = exp.make_serving_fn(m.apply, vs, spec)
+            for b in (1, 2):
+                imgs = jnp.asarray(
+                    rng.integers(0, 256, (b, 124, 256, 3)), jnp.uint8)
+                got, want = served(imgs), direct(imgs)
+                assert got["pred"].shape == (b, 128, 256)
+                assert (np.asarray(got["pred"]) ==
+                        np.asarray(want["pred"])).all()
+
     check("fused two-scale bucket Lovász (540 rows + all-ignore)", two_scale)
     check("fused single-scale bucket Lovász (odd sizes)", single_odd)
     check("v1 bucket + exact sort Lovász (full-res)", v1_and_sort)
     check("DenseContrastive V1+V2 wrapper (CaDIS shapes + all-ignore)",
           dense_contrastive)
+    check("AOT serving export round-trip (symbolic batch)", serving_export)
 
     if args.models:
         from miccai2021_cataract_semantic_segmentation_tpu.models import (
