@@ -2,7 +2,7 @@ from miccai2021_cataract_semantic_segmentation_tpu.data.dataframe import (  # no
     load_frame_table, split_dataframes, task_count_matrix, canonical_count_matrix,
 )
 from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import (  # noqa: F401
-    SegDataset, ArrayDataset, VideoDataset, SubmissionDataset,
+    SegDataset, ArrayDataset, VideoDataset, SubmissionDataset, ColorizationDataset,
 )
 from miccai2021_cataract_semantic_segmentation_tpu.data.semi import (  # noqa: F401
     BalancedConcatDataset, video_files_from_split, excluded_frames_from_df,

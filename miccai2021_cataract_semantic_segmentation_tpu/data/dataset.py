@@ -10,6 +10,9 @@ RAM once (the 4,670-frame set fits comfortably — SURVEY.md §7 hard-parts).
 `VideoDataset` streams frames from mp4 files for video inference
 (datasets/Dataset_from_video.py): global index -> (frame u8, frame_idx,
 vid_id), resized to 540x960.
+
+`ColorizationDataset` reads (rgb, grayscale) frame sequences for the
+self-supervised colourisation side-project (datasets/colorization_dataset.py).
 """
 from __future__ import annotations
 
@@ -187,3 +190,76 @@ class VideoDataset:
         if frame.shape[:2] != (self.height, self.width):
             frame = cv2.resize(frame, (self.width, self.height))
         return frame, frame_idx, vid
+
+
+class ColorizationDataset:
+    """Video sequence reader for the self-supervised colourisation
+    side-project (datasets/colorization_dataset.py — present in the
+    reference but commented out of its own __init__, datasets/__init__.py:1;
+    reconstructed here as a working component).
+
+    index -> (rgb_seq, gray_seq): two (T, H, W, 3) uint8 arrays, T =
+    `sequence_length` consecutive frames. Grayscale applies the ITU-R 601
+    weights torchvision's `Grayscale(3)` uses, replicated to 3 channels, so
+    a colourisation model consumes the same layout as the RGB target.
+    Float conversion/normalisation stays on device (ops/augment.py) — the
+    host hands over uint8 only.
+
+    Deviations from the reference (documented, both in its dead code):
+    decord is replaced by the repo's locked cv2 capture discipline with
+    sequential reads (one seek per sequence, not per frame); and the
+    reversed index arithmetic `frame_idx = idx_bins[vid] - idx`
+    (colorization_dataset.py:49) becomes the natural forward mapping —
+    both enumerate every valid sequence exactly once.
+    """
+
+    def __init__(self, video_paths: list[str], sequence_length: int = 1,
+                 resize: tuple[int, int] | None = None):
+        import threading
+        self.video_paths = [str(v) for v in video_paths]
+        self.sequence_length = int(sequence_length)
+        self.resize = resize
+        counts = []
+        for v in self.video_paths:
+            cap = cv2.VideoCapture(v)
+            counts.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+            cap.release()
+        # per-video sequence starts: n_frames - T (never sample past the end)
+        self.n_starts = [max(0, c - self.sequence_length) for c in counts]
+        self.offsets = np.cumsum([0] + self.n_starts)
+        self._caps: dict[int, "cv2.VideoCapture"] = {}
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def locate(self, idx: int) -> tuple[int, int]:
+        vid = int(np.searchsorted(self.offsets, idx, side="right") - 1)
+        return vid, int(idx - self.offsets[vid])
+
+    def __getitem__(self, idx: int):
+        vid, start = self.locate(idx)
+        frames = []
+        with self._lock:
+            cap = self._caps.get(vid)
+            if cap is None:
+                cap = self._caps[vid] = cv2.VideoCapture(self.video_paths[vid])
+            if int(cap.get(cv2.CAP_PROP_POS_FRAMES)) != start:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            for t in range(self.sequence_length):
+                ok, frame = cap.read()
+                if not ok:
+                    raise IOError(f"failed to read frame {start + t} of "
+                                  f"{self.video_paths[vid]}")
+                frames.append(frame)
+        rgb, gray = [], []
+        for frame in frames:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if self.resize is not None and frame.shape[:2] != self.resize:
+                frame = cv2.resize(frame, self.resize[::-1])
+            g = np.round(frame.astype(np.float32) @
+                         np.array([0.299, 0.587, 0.114], np.float32)
+                         ).astype(np.uint8)
+            rgb.append(frame)
+            gray.append(np.repeat(g[..., None], 3, axis=-1))
+        return np.stack(rgb), np.stack(gray)

@@ -264,3 +264,40 @@ def test_random_split_legacy():
     assert abs(len(train) - 0.6 * len(df)) < 5
     assert abs(len(valid) - 0.2 * len(df)) < 5
     assert set(train["file_name"]).isdisjoint(set(valid["file_name"]))
+
+
+def test_colorization_dataset(tmp_path):
+    """ColorizationDataset (reference colorization_dataset.py, dead code
+    there): consecutive-frame sequences, ITU-601 grayscale triplets,
+    seq-length-safe index bins."""
+    import cv2
+    from miccai2021_cataract_semantic_segmentation_tpu.data import ColorizationDataset
+    paths = []
+    for v in range(2):
+        p = tmp_path / f"col{v}.avi"
+        w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"XVID"), 5, (64, 64))
+        assert w.isOpened()
+        for f in range(5):
+            w.write(np.full((64, 64, 3), 20 * f + 100 * v, np.uint8))
+        w.release()
+        paths.append(str(p))
+
+    ds = ColorizationDataset(paths, sequence_length=2)
+    # 5 frames, T=2 -> 3 sequence starts per video
+    assert len(ds) == 6
+    assert ds.locate(0) == (0, 0) and ds.locate(3) == (1, 0) and ds.locate(5) == (1, 2)
+
+    rgb, gray = ds[1]  # video 0, frames 1..2
+    assert rgb.shape == (2, 64, 64, 3) and gray.shape == (2, 64, 64, 3)
+    assert rgb.dtype == np.uint8 and gray.dtype == np.uint8
+    # consecutive frames: fill values 20 and 40 (XVID lossy -> tolerance)
+    assert abs(float(rgb[0].mean()) - 20) < 6
+    assert abs(float(rgb[1].mean()) - 40) < 6
+    # grayscale: 3 identical channels equal to the ITU-601 combination
+    assert (gray[..., 0] == gray[..., 1]).all() and (gray[..., 1] == gray[..., 2]).all()
+    want = np.round(rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32))
+    np.testing.assert_allclose(gray[..., 0].astype(np.float32), want, atol=1.0)
+
+    # second video reachable and distinct
+    rgb2, _ = ds[3]
+    assert abs(float(rgb2[0].mean()) - 100) < 8
