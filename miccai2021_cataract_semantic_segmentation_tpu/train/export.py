@@ -91,7 +91,13 @@ def save_serving(exported, path) -> pathlib.Path:
 
 def load_serving(path):
     """Round-trip a saved artifact into a callable — needs only jax, not
-    the framework (model code, checkpoints, configs all already baked in)."""
+    the framework (model code, checkpoints, configs all already baked in).
+
+    Usage note: call the returned function at top level. Embedding it
+    inside ANOTHER jitted computation re-inlines the serialized module
+    into the outer trace and measured ~30x slower on the CPU backend;
+    compose with separate top-level jits instead (tools/bench_serving.py
+    shows the pattern)."""
     data = pathlib.Path(path).read_bytes()
     exported = jax.export.deserialize(data)
     return jax.jit(exported.call)
