@@ -33,12 +33,17 @@ from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
 SUFFIX = ".jaxexport"
 
 
-def make_serving_fn(apply_fn, variables, spec):
+def make_serving_fn(apply_fn, variables, spec, tta_scales=None):
     """Pure serving function closing over trained `variables`.
 
     `spec` is the device-transform spec (pipeline.device) or None; only its
     `pad` / `normalise` flags apply at inference (the eval pipeline is
     deterministic — same preprocessing as `make_eval_step`).
+
+    `tta_scales`: optional scale tuple — bakes the reference's TTA recipe
+    (horizontal flip x multi-scale, softmax-mean merge; ttach Compose,
+    BaseManager.py:652-660) into the serving program, same math as
+    `Trainer._make_tta_step`. Confidence then comes from the merged probs.
     """
     pad = spec is not None and getattr(spec, "pad", False)
     normalise = spec is not None and getattr(spec, "normalise", False)
@@ -49,26 +54,44 @@ def make_serving_fn(apply_fn, variables, spec):
             x = pad_reflect_hw(x)
         if normalise:
             x = (x - IMAGENET_MEAN) / IMAGENET_STD
-        outputs = apply_fn(variables, x, False)
-        logits = outputs["logits"]
-        pred = jnp.argmax(logits, -1).astype(jnp.uint8)
-        # max softmax prob without materialising the full softmax twice
-        lmax = jnp.max(logits, -1, keepdims=True)
-        conf = 1.0 / jnp.sum(jnp.exp(logits - lmax), -1)
-        return {"pred": pred, "confidence": conf.astype(jnp.float32)}
+        if tta_scales is None:
+            logits = apply_fn(variables, x, False)["logits"]
+            pred = jnp.argmax(logits, -1).astype(jnp.uint8)
+            # max softmax prob without materialising the full softmax twice
+            lmax = jnp.max(logits, -1, keepdims=True)
+            conf = 1.0 / jnp.sum(jnp.exp(logits - lmax), -1)
+            return {"pred": pred, "confidence": conf.astype(jnp.float32)}
+        from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import (
+            resize_bilinear)
+        h, w = x.shape[1:3]
+        probs = None
+        for s in tta_scales:
+            hs, ws = int(round(h * s)), int(round(w * s))
+            xs = resize_bilinear(x, (hs, ws), align_corners=False)
+            for flip in (False, True):
+                xi = xs[:, :, ::-1] if flip else xs
+                lg = apply_fn(variables, xi, False)["logits"]
+                if flip:
+                    lg = lg[:, :, ::-1]
+                lg = resize_bilinear(lg, (h, w), align_corners=False)
+                p = jax.nn.softmax(lg, axis=-1)
+                probs = p if probs is None else probs + p
+        probs = probs / (2 * len(tta_scales))  # ttach merge_mode='mean'
+        return {"pred": jnp.argmax(probs, -1).astype(jnp.uint8),
+                "confidence": jnp.max(probs, -1).astype(jnp.float32)}
 
     return serve
 
 
 def export_serving(apply_fn, variables, spec, image_hw, *, batch=None,
-                   platforms=None):
+                   platforms=None, tta_scales=None):
     """Export the serving program; returns the `jax.export.Exported`.
 
     batch=None exports a symbolic batch axis `b`; an int pins it.
     `platforms`: e.g. ("cpu", "tpu") for a cross-platform artifact; None
     lowers for the current default backend only.
     """
-    serve = make_serving_fn(apply_fn, variables, spec)
+    serve = make_serving_fn(apply_fn, variables, spec, tta_scales=tta_scales)
     h, w = image_hw
     if batch is None:
         (b,) = jax.export.symbolic_shape("b")
@@ -103,14 +126,21 @@ def load_serving(path):
     return jax.jit(exported.call)
 
 
-def export_trainer(trainer, path, *, batch=None, platforms=None):
+def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False):
     """Export a Trainer's current inference state (call after
-    `load_checkpoint('best')`). Uses the valid-set image resolution."""
+    `load_checkpoint('best')`). Uses the valid-set image resolution.
+    `tta=True` bakes the config's TTA recipe in (`tta_scales`, default the
+    reference's [.75, 1, 1.5, 1.75, 2])."""
     _, lbl, _ = trainer.valid_set[0]
     h, w = lbl.shape
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
     spec = trainer.pipeline.device if trainer.pipeline.valid_pad else None
+    tta_scales = None
+    if tta:
+        tta_scales = tuple(trainer.config.get(
+            "tta_scales", (0.75, 1.0, 1.5, 1.75, 2.0)))
     exported = export_serving(trainer.state.apply_fn, variables, spec,
-                              (h, w), batch=batch, platforms=platforms)
+                              (h, w), batch=batch, platforms=platforms,
+                              tta_scales=tta_scales)
     return save_serving(exported, path)

@@ -47,6 +47,39 @@ def test_export_symbolic_batch_round_trip(tmp_path):
         assert conf.min() > 0.0 and conf.max() <= 1.0 + 1e-6
 
 
+def test_export_tta_matches_trainer_tta_math(tmp_path):
+    """TTA-baked artifact: merged probs equal the hand-computed flip +
+    multiscale softmax mean (the reference's ttach recipe)."""
+    from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import resize_bilinear
+    model, variables = _small_model_and_vars()
+    scales = (0.75, 1.0)
+    exported = exp.export_serving(model.apply, variables, None, (32, 64),
+                                  tta_scales=scales)
+    served = exp.load_serving(exp.save_serving(exported, tmp_path / "tta"))
+
+    imgs = jnp.asarray(np.random.default_rng(3).integers(
+        0, 256, (2, 32, 64, 3), np.uint8))
+    got = served(imgs)
+
+    x = imgs.astype(jnp.float32) / 255.0
+    probs = jnp.zeros((2, 32, 64, 17))
+    for s in scales:
+        hs, ws = int(round(32 * s)), int(round(64 * s))
+        xs = resize_bilinear(x, (hs, ws), align_corners=False)
+        for flip in (False, True):
+            xi = xs[:, :, ::-1] if flip else xs
+            lg = model.apply(variables, xi, False)["logits"]
+            if flip:
+                lg = lg[:, :, ::-1]
+            lg = resize_bilinear(lg, (32, 64), align_corners=False)
+            probs = probs + jax.nn.softmax(lg, -1)
+    probs = probs / (2 * len(scales))
+    np.testing.assert_array_equal(np.asarray(got["pred"]),
+                                  np.asarray(jnp.argmax(probs, -1)))
+    np.testing.assert_allclose(np.asarray(got["confidence"]),
+                               np.asarray(jnp.max(probs, -1)), atol=1e-5)
+
+
 def test_export_trainer_from_run(tmp_path):
     """tools/export_serving.py path: train a mini run, export its state,
     serve at the valid-set resolution."""

@@ -30,6 +30,8 @@ def main(argv=None):
                     help="pin the batch axis (default: symbolic)")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. cpu,tpu (default: current backend)")
+    ap.add_argument("--tta", action="store_true",
+                    help="bake the flip+multiscale TTA recipe into the artifact")
     args = ap.parse_args(argv)
 
     from miccai2021_cataract_semantic_segmentation_tpu.train.config import parse_config
@@ -47,7 +49,7 @@ def main(argv=None):
     out = args.out or (trainer.run_dir / f"serving_{args.which}{exp.SUFFIX}")
     platforms = args.platforms.split(",") if args.platforms else None
     path = exp.export_trainer(trainer, out, batch=args.batch,
-                              platforms=platforms)
+                              platforms=platforms, tta=args.tta)
     print(f"exported {path} ({path.stat().st_size / 1e6:.1f} MB)")
     return path
 
