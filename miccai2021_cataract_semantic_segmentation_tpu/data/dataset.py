@@ -209,8 +209,9 @@ class ColorizationDataset:
     decord is replaced by the repo's locked cv2 capture discipline with
     sequential reads (one seek per sequence, not per frame); and the
     reversed index arithmetic `frame_idx = idx_bins[vid] - idx`
-    (colorization_dataset.py:49) becomes the natural forward mapping —
-    both enumerate every valid sequence exactly once.
+    (colorization_dataset.py:49) becomes the natural forward mapping over
+    all n-T+1 valid starts per video (the reference's n-T bins leave one
+    sequence per video unreachable).
     """
 
     def __init__(self, video_paths: list[str], sequence_length: int = 1,
@@ -218,14 +219,14 @@ class ColorizationDataset:
         import threading
         self.video_paths = [str(v) for v in video_paths]
         self.sequence_length = int(sequence_length)
-        self.resize = resize
+        self.resize = None if resize is None else tuple(resize)
         counts = []
         for v in self.video_paths:
             cap = cv2.VideoCapture(v)
             counts.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
             cap.release()
-        # per-video sequence starts: n_frames - T (never sample past the end)
-        self.n_starts = [max(0, c - self.sequence_length) for c in counts]
+        # valid T-sequence starts per video: 0..n-T inclusive
+        self.n_starts = [max(0, c - self.sequence_length + 1) for c in counts]
         self.offsets = np.cumsum([0] + self.n_starts)
         self._caps: dict[int, "cv2.VideoCapture"] = {}
         self._lock = threading.Lock()

@@ -27,9 +27,6 @@ import pathlib
 import jax
 import jax.numpy as jnp
 
-from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
-    IMAGENET_MEAN, IMAGENET_STD, pad_reflect_hw)
-
 SUFFIX = ".jaxexport"
 
 
@@ -45,15 +42,11 @@ def make_serving_fn(apply_fn, variables, spec, tta_scales=None):
     BaseManager.py:652-660) into the serving program, same math as
     `Trainer._make_tta_step`. Confidence then comes from the merged probs.
     """
-    pad = spec is not None and getattr(spec, "pad", False)
-    normalise = spec is not None and getattr(spec, "normalise", False)
+    from miccai2021_cataract_semantic_segmentation_tpu.train.steps import (
+        eval_preprocess, tta_merged_probs)
 
     def serve(images_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        if pad:
-            x = pad_reflect_hw(x)
-        if normalise:
-            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        x = eval_preprocess(images_u8, spec)
         if tta_scales is None:
             logits = apply_fn(variables, x, False)["logits"]
             pred = jnp.argmax(logits, -1).astype(jnp.uint8)
@@ -61,22 +54,8 @@ def make_serving_fn(apply_fn, variables, spec, tta_scales=None):
             lmax = jnp.max(logits, -1, keepdims=True)
             conf = 1.0 / jnp.sum(jnp.exp(logits - lmax), -1)
             return {"pred": pred, "confidence": conf.astype(jnp.float32)}
-        from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import (
-            resize_bilinear)
-        h, w = x.shape[1:3]
-        probs = None
-        for s in tta_scales:
-            hs, ws = int(round(h * s)), int(round(w * s))
-            xs = resize_bilinear(x, (hs, ws), align_corners=False)
-            for flip in (False, True):
-                xi = xs[:, :, ::-1] if flip else xs
-                lg = apply_fn(variables, xi, False)["logits"]
-                if flip:
-                    lg = lg[:, :, ::-1]
-                lg = resize_bilinear(lg, (h, w), align_corners=False)
-                p = jax.nn.softmax(lg, axis=-1)
-                probs = p if probs is None else probs + p
-        probs = probs / (2 * len(tta_scales))  # ttach merge_mode='mean'
+        probs = tta_merged_probs(
+            lambda xi: apply_fn(variables, xi, False)["logits"], x, tta_scales)
         return {"pred": jnp.argmax(probs, -1).astype(jnp.uint8),
                 "confidence": jnp.max(probs, -1).astype(jnp.float32)}
 

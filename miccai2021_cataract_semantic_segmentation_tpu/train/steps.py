@@ -23,8 +23,50 @@ import optax
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
 from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import cross_entropy
 from miccai2021_cataract_semantic_segmentation_tpu.models.pointrend import point_sample
-from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import augment_batch
+from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
+    IMAGENET_MEAN, IMAGENET_STD, augment_batch, pad_reflect_hw)
 from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import confusion_matrix
+
+
+def eval_preprocess(images_u8, spec, labels_u8=None):
+    """Deterministic eval-pipeline preprocessing: uint8 -> f32 [0,1], the
+    2px vertical reflect pad and ImageNet normalise per `spec`. The single
+    source of truth for the eval steps, the TTA step, and the serving
+    export (train/export.py) — they must never desync."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    pad = spec is not None and getattr(spec, "pad", False)
+    if pad:
+        x = pad_reflect_hw(x)
+    if spec is not None and getattr(spec, "normalise", False):
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    if labels_u8 is None:
+        return x
+    lbl = labels_u8.astype(jnp.int32)
+    if pad:
+        lbl = pad_reflect_hw(lbl)
+    return x, lbl
+
+
+def tta_merged_probs(forward: Callable, x, scales):
+    """ttach-equivalent TTA merge: Compose(HFlip, Scale(scales)), softmax
+    mean over the 2*len(scales) augmentations (BaseManager.py:652-660).
+    `forward(xi) -> logits` at any spatial size."""
+    from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import (
+        resize_bilinear)
+    h, w = x.shape[1:3]
+    probs = None
+    for s in scales:
+        hs, ws = int(round(h * s)), int(round(w * s))
+        xs = resize_bilinear(x, (hs, ws), align_corners=False)
+        for flip in (False, True):
+            xi = xs[:, :, ::-1] if flip else xs
+            lg = forward(xi)
+            if flip:
+                lg = lg[:, :, ::-1]
+            lg = resize_bilinear(lg, (h, w), align_corners=False)
+            p = jax.nn.softmax(lg, axis=-1)
+            probs = p if probs is None else probs + p
+    return probs / (2 * len(scales))
 
 
 def _semi_part(a: jnp.ndarray, geom: tuple, labeled: bool) -> jnp.ndarray:
@@ -212,15 +254,7 @@ def make_eval_step(spec, num_classes: int):
     Returns (logits, cm) so callers can also image-log predictions."""
 
     def step(state, images_u8, labels_u8):
-        x = images_u8.astype(jnp.float32) / 255.0
-        lbl = labels_u8.astype(jnp.int32)
-        if spec is not None and getattr(spec, "pad", False):
-            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import pad_reflect_hw
-            x = pad_reflect_hw(x)
-            lbl = pad_reflect_hw(lbl)
-        if spec is not None and getattr(spec, "normalise", False):
-            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD
-            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        x, lbl = eval_preprocess(images_u8, spec, labels_u8)
         outputs = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats}, x, False)
         logits = outputs["logits"]
@@ -235,15 +269,7 @@ def make_eval_loss_step(loss_fn, spec):
     loops log valid loss for best-loss checkpointing)."""
 
     def step(state, images_u8, labels_u8, epoch):
-        x = images_u8.astype(jnp.float32) / 255.0
-        lbl = labels_u8.astype(jnp.int32)
-        if spec is not None and getattr(spec, "pad", False):
-            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import pad_reflect_hw
-            x = pad_reflect_hw(x)
-            lbl = pad_reflect_hw(lbl)
-        if spec is not None and getattr(spec, "normalise", False):
-            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD
-            x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        x, lbl = eval_preprocess(images_u8, spec, labels_u8)
         outputs = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats}, x, False)
         total, terms = loss_fn(outputs, lbl, epoch=epoch)

@@ -26,7 +26,7 @@ import numpy as np
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
 from miccai2021_cataract_semantic_segmentation_tpu.data import (
     ArrayDataset, RepeatFactorSampler, AdaptiveBatchSampler, SegDataset,
-    build_transform_pipeline, load_frame_table, split_dataframes,
+    DeviceAugmentSpec, build_transform_pipeline, load_frame_table, split_dataframes,
     oversample_indices, weighted_random_weights, weighted_random_epoch,
     epoch_iterator, pad_or_trim_batches,
 )
@@ -34,7 +34,7 @@ from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
 from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
 from miccai2021_cataract_semantic_segmentation_tpu.ops import (
     mask_to_colormap, mean_iou_breakdown, normalise_confusion_matrix,
-    pixel_accuracy, resize_bilinear,
+    pixel_accuracy,
 )
 from miccai2021_cataract_semantic_segmentation_tpu.parallel import make_mesh, shard_batch
 from miccai2021_cataract_semantic_segmentation_tpu.train import checkpoint as ckpt
@@ -249,23 +249,20 @@ class Trainer:
         assert self.mode == "inference", "Ensemble supports inference only"
         from miccai2021_cataract_semantic_segmentation_tpu.models import (
             build_ensemble, ensemble_apply)
-        from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
-            pad_reflect_hw)
         from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import (
             confusion_matrix)
+        from miccai2021_cataract_semantic_segmentation_tpu.train.steps import (
+            eval_preprocess)
         graph = config.get("graph") or {k: config[k] for k in
                                         ("members", "merge") if k in config}
         members, merge = build_ensemble(graph, self.task,
                                         config.get("log_path", "logs"),
                                         dtype=dtype)
-        pad = self.pipeline.valid_pad
+        # pad-only spec: members handle their own input normalisation
+        spec = DeviceAugmentSpec(pad=True) if self.pipeline.valid_pad else None
 
         def step(state, images_u8, labels_u8):
-            x = images_u8.astype(jnp.float32) / 255.0
-            lbl = labels_u8.astype(jnp.int32)
-            if pad:
-                x = pad_reflect_hw(x)
-                lbl = pad_reflect_hw(lbl)
+            x, lbl = eval_preprocess(images_u8, spec, labels_u8)
             probs = ensemble_apply(members, x, merge)
             return probs, lbl, confusion_matrix(probs, lbl)
 
@@ -687,32 +684,16 @@ class Trainer:
         scales = self.config.get("tta_scales", (0.75, 1.0, 1.5, 1.75, 2.0))
 
         def step(state, images_u8, labels_u8):
-            from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
-                pad_reflect_hw, IMAGENET_MEAN, IMAGENET_STD)
-            x = images_u8.astype(jnp.float32) / 255.0
-            lbl = labels_u8.astype(jnp.int32)
-            if spec is not None and spec.pad:
-                x = pad_reflect_hw(x)
-                lbl = pad_reflect_hw(lbl)
-            if spec is not None and spec.normalise:
-                x = (x - IMAGENET_MEAN) / IMAGENET_STD
-            h, w = x.shape[1:3]
-            probs = jnp.zeros(x.shape[:3] + (taxonomy.TASK_NUM_CLASSES[self.task],))
-            n_aug = 2 * len(scales)
-            for s in scales:
-                hs, ws = int(round(h * s)), int(round(w * s))
-                xs = resize_bilinear(x, (hs, ws), align_corners=False)
-                for flip in (False, True):
-                    xi = xs[:, :, ::-1] if flip else xs
-                    out = state.apply_fn({"params": state.params,
-                                          "batch_stats": state.batch_stats},
-                                         xi, False)
-                    lg = out["logits"]
-                    if flip:
-                        lg = lg[:, :, ::-1]
-                    lg = resize_bilinear(lg, (h, w), align_corners=False)
-                    probs = probs + jax.nn.softmax(lg, axis=-1)
-            probs = probs / n_aug  # ttach merge_mode='mean'
+            from miccai2021_cataract_semantic_segmentation_tpu.train.steps import (
+                eval_preprocess, tta_merged_probs)
+            x, lbl = eval_preprocess(images_u8, spec, labels_u8)
+
+            def forward(xi):
+                return state.apply_fn({"params": state.params,
+                                       "batch_stats": state.batch_stats},
+                                      xi, False)["logits"]
+
+            probs = tta_merged_probs(forward, x, scales)
             from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import confusion_matrix
             cm = confusion_matrix(probs, lbl)
             return probs, lbl, cm

@@ -283,9 +283,11 @@ def test_colorization_dataset(tmp_path):
         paths.append(str(p))
 
     ds = ColorizationDataset(paths, sequence_length=2)
-    # 5 frames, T=2 -> 3 sequence starts per video
-    assert len(ds) == 6
-    assert ds.locate(0) == (0, 0) and ds.locate(3) == (1, 0) and ds.locate(5) == (1, 2)
+    # 5 frames, T=2 -> 4 sequence starts per video (0..3 inclusive)
+    assert len(ds) == 8
+    assert ds.locate(0) == (0, 0) and ds.locate(4) == (1, 0) and ds.locate(7) == (1, 3)
+    rgb_last, _ = ds[3]  # the final sequence reaches the last frame
+    assert abs(float(rgb_last[1].mean()) - 80) < 8
 
     rgb, gray = ds[1]  # video 0, frames 1..2
     assert rgb.shape == (2, 64, 64, 3) and gray.shape == (2, 64, 64, 3)
@@ -299,5 +301,5 @@ def test_colorization_dataset(tmp_path):
     np.testing.assert_allclose(gray[..., 0].astype(np.float32), want, atol=1.0)
 
     # second video reachable and distinct
-    rgb2, _ = ds[3]
+    rgb2, _ = ds[4]
     assert abs(float(rgb2[0].mean()) - 100) < 8

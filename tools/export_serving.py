@@ -42,8 +42,11 @@ def main(argv=None):
     config["mode"] = "inference"
     if args.data_path:
         config["data_path"] = args.data_path
-    trainer = Trainer(config)
     run_id = args.run_id or config.get("load_checkpoint")
+    if not run_id:
+        ap.error("no checkpoint specified: pass -r <run_id> or set "
+                 "'load_checkpoint' in the config")
+    trainer = Trainer(config)
     trainer.load_checkpoint(args.which, run_id=run_id)
 
     out = args.out or (trainer.run_dir / f"serving_{args.which}{exp.SUFFIX}")
