@@ -62,15 +62,32 @@ def make_serving_fn(apply_fn, variables, spec, tta_scales=None):
     return serve
 
 
-def export_serving(apply_fn, variables, spec, image_hw, *, batch=None,
-                   platforms=None, tta_scales=None):
-    """Export the serving program; returns the `jax.export.Exported`.
+def make_ensemble_serving_fn(members, merge, spec):
+    """Ensemble serving (reference Ensemble_Manager + BaseManager.infer):
+    pad-only preprocessing — members apply their own input normalisation
+    inside `ensemble_apply` — then merged softmax probabilities drive the
+    prediction and confidence, all members baked into one artifact."""
+    from miccai2021_cataract_semantic_segmentation_tpu.models.ensemble import (
+        ensemble_apply)
+    from miccai2021_cataract_semantic_segmentation_tpu.train.steps import (
+        eval_preprocess)
+
+    def serve(images_u8):
+        x = eval_preprocess(images_u8, spec)
+        probs = ensemble_apply(members, x, merge)
+        return {"pred": jnp.argmax(probs, -1).astype(jnp.uint8),
+                "confidence": jnp.max(probs, -1).astype(jnp.float32)}
+
+    return serve
+
+
+def export_fn(serve, image_hw, *, batch=None, platforms=None):
+    """jax.export plumbing shared by the single-model and ensemble paths.
 
     batch=None exports a symbolic batch axis `b`; an int pins it.
     `platforms`: e.g. ("cpu", "tpu") for a cross-platform artifact; None
     lowers for the current default backend only.
     """
-    serve = make_serving_fn(apply_fn, variables, spec, tta_scales=tta_scales)
     h, w = image_hw
     if batch is None:
         (b,) = jax.export.symbolic_shape("b")
@@ -81,6 +98,13 @@ def export_serving(apply_fn, variables, spec, image_hw, *, batch=None,
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
     return jax.export.export(jax.jit(serve), **kwargs)(arg)
+
+
+def export_serving(apply_fn, variables, spec, image_hw, *, batch=None,
+                   platforms=None, tta_scales=None):
+    """Export the single-model serving program (`make_serving_fn`)."""
+    serve = make_serving_fn(apply_fn, variables, spec, tta_scales=tta_scales)
+    return export_fn(serve, image_hw, batch=batch, platforms=platforms)
 
 
 def save_serving(exported, path) -> pathlib.Path:
@@ -107,11 +131,22 @@ def load_serving(path):
 
 def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False):
     """Export a Trainer's current inference state (call after
-    `load_checkpoint('best')`). Uses the valid-set image resolution.
-    `tta=True` bakes the config's TTA recipe in (`tta_scales`, default the
-    reference's [.75, 1, 1.5, 1.75, 2])."""
+    `load_checkpoint('best')` — ensembles restore member checkpoints at
+    construction). Uses the valid-set image resolution. `tta=True` bakes
+    the config's TTA recipe in (`tta_scales`, default the reference's
+    [.75, 1, 1.5, 1.75, 2])."""
     _, lbl, _ = trainer.valid_set[0]
     h, w = lbl.shape
+    if trainer.state is None:  # ensemble inference Trainer
+        assert not tta, "TTA is a single-model recipe (BaseManager.infer)"
+        members, merge = trainer.ensemble
+        from miccai2021_cataract_semantic_segmentation_tpu.data.transforms import (
+            DeviceAugmentSpec)
+        spec = DeviceAugmentSpec(pad=True) if trainer.pipeline.valid_pad \
+            else None
+        serve = make_ensemble_serving_fn(members, merge, spec)
+        exported = export_fn(serve, (h, w), batch=batch, platforms=platforms)
+        return save_serving(exported, path)
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
     spec = trainer.pipeline.device if trainer.pipeline.valid_pad else None

@@ -97,6 +97,40 @@ def test_export_trainer_from_run(tmp_path):
     assert int(np.asarray(out["pred"]).max()) < 8
 
 
+def test_export_ensemble(tmp_path):
+    """Ensemble serving artifact: all members + merge baked into one
+    program, matching Trainer's own ensemble eval step."""
+    import pandas as pd
+    from miccai2021_cataract_semantic_segmentation_tpu.data import ArrayDataset
+    from miccai2021_cataract_semantic_segmentation_tpu.train import Trainer
+    rng = np.random.default_rng(0)
+    n = 4
+    ds = ArrayDataset(rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8),
+                      rng.integers(0, 8, (n, 32, 32), dtype=np.uint8))
+    df = pd.DataFrame({"vid_num": np.ones(n, int)})
+    config = {
+        "name": "ens", "mode": "inference", "manager": "Ensemble",
+        "graph": {"model": "Ensemble", "merge": "mean",
+                  "members": {"1": {"model": "FCN", "width": 0.125},
+                              "2": {"model": "UNet"}}},
+        "data": {"experiment": 1, "batch_size": 1, "split": 0,
+                 "transforms": []},
+        "loss": {}, "train": {},
+        "log_path": str(tmp_path), "precision": "f32", "seed": 0,
+    }
+    t = Trainer(config, datasets=(ds, ds, df, df))
+    path = exp.export_trainer(t, tmp_path / "ens_export")
+    served = exp.load_serving(path)
+
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 32, 32, 3), np.uint8))
+    got = served(imgs)
+    probs, _, _ = t.eval_step(None, imgs, jnp.zeros((2, 32, 32), jnp.uint8))
+    np.testing.assert_array_equal(np.asarray(got["pred"]),
+                                  np.asarray(jnp.argmax(probs, -1)))
+    np.testing.assert_allclose(np.asarray(got["confidence"]),
+                               np.asarray(jnp.max(probs, -1)), atol=1e-6)
+
+
 def test_export_artifact_is_self_contained(tmp_path):
     """Reload through raw jax.export only — no framework imports in the
     consuming path (what a serving fleet would run)."""

@@ -42,12 +42,15 @@ def main(argv=None):
     config["mode"] = "inference"
     if args.data_path:
         config["data_path"] = args.data_path
+    is_ensemble = config.get("manager") == "Ensemble" or \
+        (config.get("graph") or {}).get("model") == "Ensemble"
     run_id = args.run_id or config.get("load_checkpoint")
-    if not run_id:
+    if not run_id and not is_ensemble:
         ap.error("no checkpoint specified: pass -r <run_id> or set "
                  "'load_checkpoint' in the config")
     trainer = Trainer(config)
-    trainer.load_checkpoint(args.which, run_id=run_id)
+    if not is_ensemble:  # ensemble members restore at construction
+        trainer.load_checkpoint(args.which, run_id=run_id)
 
     out = args.out or (trainer.run_dir / f"serving_{args.which}{exp.SUFFIX}")
     platforms = args.platforms.split(",") if args.platforms else None
