@@ -81,14 +81,31 @@ def make_ensemble_serving_fn(members, merge, spec):
     return serve
 
 
-def export_fn(serve, image_hw, *, batch=None, platforms=None):
+def export_fn(serve, image_hw, *, batch=None, platforms=None, mesh=None):
     """jax.export plumbing shared by the single-model and ensemble paths.
 
     batch=None exports a symbolic batch axis `b`; an int pins it.
     `platforms`: e.g. ("cpu", "tpu") for a cross-platform artifact; None
     lowers for the current default backend only.
+
+    `mesh`: a `jax.sharding.Mesh` with a 'data' axis — the artifact then
+    shards the batch over the mesh devices (data-parallel serving on a
+    slice; XLA GSPMD compiles the partitioned program into the artifact).
+    Requires a pinned `batch` divisible by the data axis, and callers must
+    run with the same device count and feed inputs placed on an equivalent
+    mesh (`jax.device_put(imgs, NamedSharding(mesh, P('data')))`).
     """
     h, w = image_hw
+    if mesh is None:
+        jit_fn = jax.jit(serve)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_data = mesh.shape["data"]
+        assert batch is not None and int(batch) % n_data == 0, \
+            f"mesh export needs a pinned batch divisible by {n_data}"
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        jit_fn = jax.jit(serve, in_shardings=(sh,),
+                         out_shardings={"pred": sh, "confidence": sh})
     if batch is None:
         (b,) = jax.export.symbolic_shape("b")
     else:
@@ -97,14 +114,15 @@ def export_fn(serve, image_hw, *, batch=None, platforms=None):
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    return jax.export.export(jax.jit(serve), **kwargs)(arg)
+    return jax.export.export(jit_fn, **kwargs)(arg)
 
 
 def export_serving(apply_fn, variables, spec, image_hw, *, batch=None,
-                   platforms=None, tta_scales=None):
+                   platforms=None, tta_scales=None, mesh=None):
     """Export the single-model serving program (`make_serving_fn`)."""
     serve = make_serving_fn(apply_fn, variables, spec, tta_scales=tta_scales)
-    return export_fn(serve, image_hw, batch=batch, platforms=platforms)
+    return export_fn(serve, image_hw, batch=batch, platforms=platforms,
+                     mesh=mesh)
 
 
 def save_serving(exported, path) -> pathlib.Path:
@@ -129,7 +147,8 @@ def load_serving(path):
     return jax.jit(exported.call)
 
 
-def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False):
+def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False,
+                   mesh=None):
     """Export a Trainer's current inference state (call after
     `load_checkpoint('best')` — ensembles restore member checkpoints at
     construction). Uses the valid-set image resolution. `tta=True` bakes
@@ -145,7 +164,8 @@ def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False):
         spec = DeviceAugmentSpec(pad=True) if trainer.pipeline.valid_pad \
             else None
         serve = make_ensemble_serving_fn(members, merge, spec)
-        exported = export_fn(serve, (h, w), batch=batch, platforms=platforms)
+        exported = export_fn(serve, (h, w), batch=batch, platforms=platforms,
+                             mesh=mesh)
         return save_serving(exported, path)
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
@@ -156,5 +176,5 @@ def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False):
             "tta_scales", (0.75, 1.0, 1.5, 1.75, 2.0)))
     exported = export_serving(trainer.state.apply_fn, variables, spec,
                               (h, w), batch=batch, platforms=platforms,
-                              tta_scales=tta_scales)
+                              tta_scales=tta_scales, mesh=mesh)
     return save_serving(exported, path)

@@ -97,6 +97,36 @@ def test_export_trainer_from_run(tmp_path):
     assert int(np.asarray(out["pred"]).max()) < 8
 
 
+def test_export_mesh_sharded(tmp_path):
+    """Data-parallel serving artifact: the batch axis shards over the
+    8-device mesh inside the exported program (GSPMD compiled in), outputs
+    stay batch-sharded, and predictions match the unsharded serve."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from miccai2021_cataract_semantic_segmentation_tpu.parallel import make_mesh
+    model, variables = _small_model_and_vars()
+    mesh = make_mesh(devices=jax.devices())
+    assert mesh.shape["data"] == 8
+    exported = exp.export_serving(model.apply, variables, None, (32, 64),
+                                  batch=8, mesh=mesh)
+    assert exported.nr_devices == 8
+    served = exp.load_serving(exp.save_serving(exported, tmp_path / "mesh"))
+
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    imgs = jax.device_put(jnp.asarray(np.random.default_rng(4).integers(
+        0, 256, (8, 32, 64, 3), np.uint8)), sh)
+    got = served(imgs)
+    assert got["pred"].sharding.is_equivalent_to(sh, 3)
+    want = exp.make_serving_fn(model.apply, variables, None)(imgs)
+    np.testing.assert_array_equal(np.asarray(got["pred"]),
+                                  np.asarray(want["pred"]))
+
+    # guard: mesh export requires a pinned, divisible batch
+    import pytest
+    with pytest.raises(AssertionError):
+        exp.export_serving(model.apply, variables, None, (32, 64),
+                           batch=6, mesh=mesh)
+
+
 def test_export_ensemble(tmp_path):
     """Ensemble serving artifact: all members + merge baked into one
     program, matching Trainer's own ensemble eval step."""

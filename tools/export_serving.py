@@ -32,6 +32,9 @@ def main(argv=None):
                     help="comma list, e.g. cpu,tpu (default: current backend)")
     ap.add_argument("--tta", action="store_true",
                     help="bake the flip+multiscale TTA recipe into the artifact")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="shard the batch over N devices (data-parallel "
+                         "serving; requires --batch divisible by N)")
     args = ap.parse_args(argv)
 
     from miccai2021_cataract_semantic_segmentation_tpu.train.config import parse_config
@@ -54,8 +57,13 @@ def main(argv=None):
 
     out = args.out or (trainer.run_dir / f"serving_{args.which}{exp.SUFFIX}")
     platforms = args.platforms.split(",") if args.platforms else None
+    mesh = None
+    if args.mesh:
+        import jax
+        from miccai2021_cataract_semantic_segmentation_tpu.parallel import make_mesh
+        mesh = make_mesh(devices=jax.devices()[:args.mesh])
     path = exp.export_trainer(trainer, out, batch=args.batch,
-                              platforms=platforms, tta=args.tta)
+                              platforms=platforms, tta=args.tta, mesh=mesh)
     print(f"exported {path} ({path.stat().st_size / 1e6:.1f} MB)")
     return path
 
