@@ -223,7 +223,18 @@ class ColorizationDataset:
         counts = []
         for v in self.video_paths:
             cap = cv2.VideoCapture(v)
-            counts.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+            c = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            # container metadata can over-report the frame count (VFR /
+            # codec quirks): probe the tail so the final advertised
+            # sequence is actually decodable rather than raising mid-epoch
+            for _ in range(3):
+                if c <= 0:
+                    break
+                cap.set(cv2.CAP_PROP_POS_FRAMES, c - 1)
+                if cap.read()[0]:
+                    break
+                c -= 1
+            counts.append(c)
             cap.release()
         # valid T-sequence starts per video: 0..n-T inclusive
         self.n_starts = [max(0, c - self.sequence_length + 1) for c in counts]

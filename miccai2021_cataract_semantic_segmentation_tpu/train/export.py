@@ -158,11 +158,7 @@ def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False,
     h, w = lbl.shape
     if trainer.state is None:  # ensemble inference Trainer
         assert not tta, "TTA is a single-model recipe (BaseManager.infer)"
-        members, merge = trainer.ensemble
-        from miccai2021_cataract_semantic_segmentation_tpu.data.transforms import (
-            DeviceAugmentSpec)
-        spec = DeviceAugmentSpec(pad=True) if trainer.pipeline.valid_pad \
-            else None
+        members, merge, spec = trainer.ensemble  # the eval step's own spec
         serve = make_ensemble_serving_fn(members, merge, spec)
         exported = export_fn(serve, (h, w), batch=batch, platforms=platforms,
                              mesh=mesh)

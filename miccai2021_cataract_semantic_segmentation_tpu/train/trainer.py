@@ -261,7 +261,8 @@ class Trainer:
         # pad-only spec: members handle their own input normalisation
         spec = DeviceAugmentSpec(pad=True) if self.pipeline.valid_pad else None
 
-        self.ensemble = (members, merge)  # for the serving export
+        # single source for the eval step AND the serving export
+        self.ensemble = (members, merge, spec)
 
         def step(state, images_u8, labels_u8):
             x, lbl = eval_preprocess(images_u8, spec, labels_u8)

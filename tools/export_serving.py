@@ -48,18 +48,32 @@ def main(argv=None):
     is_ensemble = config.get("manager") == "Ensemble" or \
         (config.get("graph") or {}).get("model") == "Ensemble"
     run_id = args.run_id or config.get("load_checkpoint")
-    if not run_id and not is_ensemble:
+    if is_ensemble:
+        # members always restore their own best checkpoints at construction
+        if args.run_id or args.which != "best":
+            ap.error("-r/-w do not apply to Ensemble configs: members "
+                     "restore their own 'best' checkpoints (set per-member "
+                     "'ckpt' run-ids in the config)")
+        if args.tta:
+            ap.error("--tta is a single-model recipe (BaseManager.infer); "
+                     "not applicable to Ensemble configs")
+    elif not run_id:
         ap.error("no checkpoint specified: pass -r <run_id> or set "
                  "'load_checkpoint' in the config")
+    if args.mesh:
+        import jax
+        if args.mesh > len(jax.devices()):
+            ap.error(f"--mesh {args.mesh} exceeds the {len(jax.devices())} "
+                     "available devices; the artifact's device assignment "
+                     "must be built on the target parallelism")
     trainer = Trainer(config)
-    if not is_ensemble:  # ensemble members restore at construction
+    if not is_ensemble:
         trainer.load_checkpoint(args.which, run_id=run_id)
 
     out = args.out or (trainer.run_dir / f"serving_{args.which}{exp.SUFFIX}")
     platforms = args.platforms.split(",") if args.platforms else None
     mesh = None
     if args.mesh:
-        import jax
         from miccai2021_cataract_semantic_segmentation_tpu.parallel import make_mesh
         mesh = make_mesh(devices=jax.devices()[:args.mesh])
     path = exp.export_trainer(trainer, out, batch=args.batch,
