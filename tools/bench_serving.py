@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--tta", action="store_true",
+                    help="bench the TTA-baked artifact (10 forwards/batch)")
     args = ap.parse_args()
 
     import jax
@@ -82,10 +84,12 @@ def main():
               f"({bs / dt:.1f} fps)", file=sys.stderr, flush=True)
         return bs / dt
 
-    live_fps = timed(jax.jit(exp.make_serving_fn(model.apply, variables, spec)),
-                     "live jit")
+    tta_scales = (0.75, 1.0, 1.5, 1.75, 2.0) if args.tta else None
+    live_fps = timed(jax.jit(exp.make_serving_fn(
+        model.apply, variables, spec, tta_scales=tta_scales)), "live jit")
 
-    exported = exp.export_serving(model.apply, variables, spec, (h, w))
+    exported = exp.export_serving(model.apply, variables, spec, (h, w),
+                                  tta_scales=tta_scales)
     with tempfile.TemporaryDirectory() as d:
         path = exp.save_serving(exported, d + "/m")
         size_mb = path.stat().st_size / 1e6
