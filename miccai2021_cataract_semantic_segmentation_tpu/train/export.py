@@ -147,30 +147,67 @@ def load_serving(path):
     return jax.jit(exported.call)
 
 
+def write_sidecar(path, trainer, *, image_hw, tta_scales=None, mesh=None):
+    """`<artifact>.json`: everything a framework-less consumer needs to
+    interpret the artifact — input contract, task class names, and the
+    CaDIS colormap for rendering predictions (taxonomy.task_colormap)."""
+    import json
+
+    from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+    task = trainer.task
+    pad = trainer.pipeline.valid_pad
+    h, w = image_hw
+    n_cls = taxonomy.TASK_NUM_CLASSES[task]
+    names = list(taxonomy.TASK_CLASS_NAMES[task])
+    cmap = taxonomy.task_colormap(task)
+    if taxonomy.task_has_ignore(task):
+        names = names + ["Ignore"]
+    meta = {
+        "input": {"shape": ["batch", h, w, 3], "dtype": "uint8",
+                  "layout": "NHWC RGB"},
+        "output": {"pred": ["batch", h + (4 if pad else 0), w],
+                   "confidence": "float32 max softmax prob, same HxW",
+                   "pad_rows": 2 if pad else 0},
+        "task": task, "num_classes": n_cls,
+        "class_names": names,
+        "colormap_rgb": cmap.tolist(),
+        "tta_scales": list(tta_scales) if tta_scales else None,
+        "mesh_devices": int(mesh.size) if mesh is not None else None,
+        "run_id": trainer.run_id,
+    }
+    sidecar = pathlib.Path(path).with_suffix(SUFFIX + ".json")
+    sidecar.write_text(json.dumps(meta, indent=1))
+    return sidecar
+
+
 def export_trainer(trainer, path, *, batch=None, platforms=None, tta=False,
                    mesh=None):
     """Export a Trainer's current inference state (call after
     `load_checkpoint('best')` — ensembles restore member checkpoints at
     construction). Uses the valid-set image resolution. `tta=True` bakes
     the config's TTA recipe in (`tta_scales`, default the reference's
-    [.75, 1, 1.5, 1.75, 2])."""
+    [.75, 1, 1.5, 1.75, 2]). Writes a `.json` metadata sidecar next to
+    the artifact."""
     _, lbl, _ = trainer.valid_set[0]
     h, w = lbl.shape
+    tta_scales = None
     if trainer.state is None:  # ensemble inference Trainer
         assert not tta, "TTA is a single-model recipe (BaseManager.infer)"
         members, merge, spec = trainer.ensemble  # the eval step's own spec
         serve = make_ensemble_serving_fn(members, merge, spec)
         exported = export_fn(serve, (h, w), batch=batch, platforms=platforms,
                              mesh=mesh)
-        return save_serving(exported, path)
-    variables = {"params": trainer.state.params,
-                 "batch_stats": trainer.state.batch_stats}
-    spec = trainer.pipeline.device if trainer.pipeline.valid_pad else None
-    tta_scales = None
-    if tta:
-        tta_scales = tuple(trainer.config.get(
-            "tta_scales", (0.75, 1.0, 1.5, 1.75, 2.0)))
-    exported = export_serving(trainer.state.apply_fn, variables, spec,
-                              (h, w), batch=batch, platforms=platforms,
-                              tta_scales=tta_scales, mesh=mesh)
-    return save_serving(exported, path)
+    else:
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        spec = trainer.pipeline.device if trainer.pipeline.valid_pad else None
+        if tta:
+            tta_scales = tuple(trainer.config.get(
+                "tta_scales", (0.75, 1.0, 1.5, 1.75, 2.0)))
+        exported = export_serving(trainer.state.apply_fn, variables, spec,
+                                  (h, w), batch=batch, platforms=platforms,
+                                  tta_scales=tta_scales, mesh=mesh)
+    out = save_serving(exported, path)
+    write_sidecar(out, trainer, image_hw=(h, w), tta_scales=tta_scales,
+                  mesh=mesh)
+    return out

@@ -88,6 +88,12 @@ def test_export_trainer_from_run(tmp_path):
     t.train()
     t.load_checkpoint("best")
     path = exp.export_trainer(t, tmp_path / "run_export")
+    # metadata sidecar: framework-less consumers get the full contract
+    import json
+    meta = json.loads(path.with_suffix(".jaxexport.json").read_text())
+    assert meta["task"] == 1 and meta["num_classes"] == 8
+    assert len(meta["class_names"]) == 8  # task 1 has no ignore class
+    assert len(meta["colormap_rgb"]) == 8 and meta["output"]["pad_rows"] == 0
     served = exp.load_serving(path)
     imgs = jnp.asarray(np.random.default_rng(2).integers(
         0, 256, (2, 32, 32, 3), np.uint8))
