@@ -103,6 +103,19 @@ def test_export_trainer_from_run(tmp_path):
     assert int(np.asarray(out["pred"]).max()) < 8
 
 
+def test_export_cross_platform(tmp_path):
+    """platforms=('cpu','tpu'): one artifact lowered for both backends from
+    this CPU-only host — the deploy-anywhere story. Executes on cpu here;
+    the TPU half runs in tools/tpu_smoke.py on hardware."""
+    model, variables = _small_model_and_vars()
+    exported = exp.export_serving(model.apply, variables, None, (32, 64),
+                                  platforms=("cpu", "tpu"))
+    assert exported.platforms == ("cpu", "tpu")
+    served = exp.load_serving(exp.save_serving(exported, tmp_path / "xp"))
+    out = served(jnp.zeros((2, 32, 64, 3), jnp.uint8))
+    assert out["pred"].shape == (2, 32, 64)
+
+
 def test_export_mesh_sharded(tmp_path):
     """Data-parallel serving artifact: the batch axis shards over the
     8-device mesh inside the exported program (GSPMD compiled in), outputs
