@@ -33,14 +33,21 @@ V5E_PEAK_TFLOPS = 197.0
 def pallas_histogram_tflops(n_cls: int, n_pixels_padded: int,
                             n_buckets: int) -> float:
     """MXU ops of the fused two-scale bucket-Lovász kernels per step
-    (losses/fused_lovasz.py, count-only int8 histograms). Forward packs
-    the two scales of each class into one (2*HI, K) x (4*LO, K) int8 pass
-    -> 2*(2*HI)*(4*LO)*P = 16*B*P ops per class; backward runs
-    (2*LO, HI) x (HI, K) bf16 per row over 2C rows -> 8*B*P per class.
-    One-hot/VPU work is not counted (VPU, not MXU); int8 ops are counted
-    1:1 against the bf16 peak, slightly understating achievable MFU."""
+    (losses/fused_lovasz.py, count-only int8 histograms). The forward tile
+    size depends on the MXU packing layout (_bucket_split): B > 2048 runs
+    one (HI, K) x (2*LO, K) pass per row (2C rows -> 8*B*P ops/class);
+    B in (512, 2048] pairs a class's two scales into one
+    (2*HI, K) x (4*LO, K) pass -> 16*B*P ops/class; B <= 512 quad-packs
+    two classes x two scales into one (4*HI, K) x (8*LO, K) pass ->
+    32*B*P ops/class (the wider tile covers two classes but its off-
+    diagonal blocks are still computed by the systolic array). Backward
+    always runs (2*LO, HI) x (HI, K) bf16 per row over 2C rows ->
+    8*B*P per class, independent of the forward packing. One-hot/VPU work
+    is not counted (VPU, not MXU); int8 ops are counted 1:1 against the
+    bf16 peak, slightly understating achievable MFU."""
     b, p = n_buckets, n_pixels_padded
-    return (16.0 * b * p * n_cls + 8.0 * b * p * n_cls) / 1e12
+    fwd_per_class = 8.0 if b > 2048 else (16.0 if b > 512 else 32.0)
+    return (fwd_per_class * b * p * n_cls + 8.0 * b * p * n_cls) / 1e12
 
 
 def _xla_tflops(compiled) -> float | None:

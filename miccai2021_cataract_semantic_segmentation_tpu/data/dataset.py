@@ -145,20 +145,42 @@ class ArrayDataset:
         return self.images[idx], self.labels[idx], {"index": idx, "vid_num": -1}
 
 
+def probed_frame_count(cap) -> int:
+    """Decodable frame count of an open capture. Container metadata can
+    over-report the frame count (VFR / codec quirks); walk the advertised
+    tail back until a frame actually decodes so every advertised index is
+    readable rather than raising mid-epoch."""
+    c = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    while c > 0:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, c - 1)
+        if cap.read()[0]:
+            break
+        c -= 1
+    return c
+
+
 class VideoDataset:
     """Streams frames from a list of video files by global frame index
     (datasets/Dataset_from_video.py:29-61). Handles are opened lazily per
-    worker; frames are BGR->RGB converted and resized to (height, width)."""
+    worker; frames are BGR->RGB converted and resized to (height, width).
 
-    def __init__(self, video_paths: list[str], height: int = 540, width: int = 960):
+    `frame_counts` skips the per-video open+tail-probe when the caller
+    already knows the decodable counts (e.g. per-thread readers sharing one
+    outer dataset's probe, train/video.py)."""
+
+    def __init__(self, video_paths: list[str], height: int = 540,
+                 width: int = 960, frame_counts: list[int] | None = None):
         import threading
         self.video_paths = [str(v) for v in video_paths]
         self.height, self.width = height, width
-        self.frame_counts = []
-        for v in self.video_paths:
-            cap = cv2.VideoCapture(v)
-            self.frame_counts.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
-            cap.release()
+        if frame_counts is not None:
+            self.frame_counts = [int(c) for c in frame_counts]
+        else:
+            self.frame_counts = []
+            for v in self.video_paths:
+                cap = cv2.VideoCapture(v)
+                self.frame_counts.append(probed_frame_count(cap))
+                cap.release()
         self.offsets = np.cumsum([0] + self.frame_counts)
         self._caps: dict[int, "cv2.VideoCapture"] = {}
         # one capture handle per video, shared across reader threads
@@ -223,18 +245,7 @@ class ColorizationDataset:
         counts = []
         for v in self.video_paths:
             cap = cv2.VideoCapture(v)
-            c = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-            # container metadata can over-report the frame count (VFR /
-            # codec quirks): probe the tail so the final advertised
-            # sequence is actually decodable rather than raising mid-epoch
-            for _ in range(3):
-                if c <= 0:
-                    break
-                cap.set(cv2.CAP_PROP_POS_FRAMES, c - 1)
-                if cap.read()[0]:
-                    break
-                c -= 1
-            counts.append(c)
+            counts.append(probed_frame_count(cap))
             cap.release()
         # valid T-sequence starts per video: 0..n-T inclusive
         self.n_starts = [max(0, c - self.sequence_length + 1) for c in counts]

@@ -90,10 +90,17 @@ class SemiSupervisedView:
             lbls = np.empty((len(idx), *ll.shape[1:]), np.uint8)
             imgs[lab_pos], lbls[lab_pos] = li, ll
         else:
+            # all-unlabeled batch: the shape probe decodes idx[0], so keep
+            # it and skip that index in the fill loop (video seek+decode is
+            # the slowest step in this path)
             img0, lbl0, _ = self[int(idx[0])]
             imgs = np.empty((len(idx), *img0.shape), img0.dtype)
             lbls = np.empty((len(idx), *lbl0.shape), np.uint8)
-        for k in np.flatnonzero(idx >= n_lab):
+            imgs[0], lbls[0] = img0, lbl0
+        fill = np.flatnonzero(idx >= n_lab)
+        if native is None:
+            fill = fill[fill != 0]
+        for k in fill:
             img, lbl, _ = self[int(idx[k])]
             imgs[k], lbls[k] = img, lbl
         return imgs, lbls

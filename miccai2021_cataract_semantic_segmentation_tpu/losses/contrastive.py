@@ -29,23 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from miccai2021_cataract_semantic_segmentation_tpu import taxonomy
+from miccai2021_cataract_semantic_segmentation_tpu.ops.misc import (
+    downsample_labels as _downsample_labels)
 
 _NEG = -1e9
-
-
-def _downsample_labels(labels: jnp.ndarray, hw) -> jnp.ndarray:
-    """Nearest-sample NHW int labels to the feature grid (h, w).
-
-    Uses centre-aligned nearest indices (floor((i + 0.5) * H / h)) so
-    non-integer ratios (e.g. 540 labels over a 68-row feature grid) stay
-    aligned across the whole image and H < h (upsampling) is well-defined —
-    a floor-division stride would drift by ~one feature row per image end
-    and never sample the bottom/right label rows."""
-    n, H, W = labels.shape
-    h, w = hw
-    yi = jnp.floor((jnp.arange(h) + 0.5) * (H / h)).astype(jnp.int32)
-    xi = jnp.floor((jnp.arange(w) + 0.5) * (W / w)).astype(jnp.int32)
-    return labels[:, yi[:, None], xi[None, :]]
 
 
 def _normalise(x, axis=-1, eps=1e-12):

@@ -18,6 +18,21 @@ def clipped_argmax(softmax_pred: jnp.ndarray, t: float,
                      indices)
 
 
+def downsample_labels(labels: jnp.ndarray, hw) -> jnp.ndarray:
+    """Nearest-sample NHW int labels to a coarser grid (h, w).
+
+    Uses centre-aligned nearest indices (floor((i + 0.5) * H / h)) so
+    non-integer ratios (e.g. 540 labels over a 68-row feature grid) stay
+    aligned across the whole image and H < h (upsampling) is well-defined —
+    a floor-division stride would drift by ~one feature row per image end
+    and never sample the bottom/right label rows."""
+    n, H, W = labels.shape
+    h, w = hw
+    yi = jnp.floor((jnp.arange(h) + 0.5) * (H / h)).astype(jnp.int32)
+    xi = jnp.floor((jnp.arange(w) + 0.5) * (W / w)).astype(jnp.int32)
+    return labels[:, yi[:, None], xi[None, :]]
+
+
 def to_one_hot(labels: jnp.ndarray, n_classes: int) -> jnp.ndarray:
     """NHW int labels -> NHWC one-hot f32 (torch_utils.py:123-127 is NCHW;
     NHWC is the TPU-native layout)."""

@@ -26,6 +26,7 @@ from miccai2021_cataract_semantic_segmentation_tpu.models.pointrend import point
 from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
     IMAGENET_MEAN, IMAGENET_STD, augment_batch, pad_reflect_hw)
 from miccai2021_cataract_semantic_segmentation_tpu.ops.metrics import confusion_matrix
+from miccai2021_cataract_semantic_segmentation_tpu.ops.misc import downsample_labels
 
 
 def eval_preprocess(images_u8, spec, labels_u8=None):
@@ -225,8 +226,11 @@ def make_train_step(loss_fn: Callable, spec, task: int,
         cm_lbl = lbl if semi_geom is None else _semi_part(lbl, semi_geom, True)
         if train_metrics == "s8" and s8 is not None:
             cm_s8 = s8 if semi_geom is None else _semi_part(s8, semi_geom, True)
-            stride = cm_lbl.shape[1] // cm_s8.shape[1]
-            cm = confusion_matrix(cm_s8, cm_lbl[:, ::stride, ::stride])
+            # centre-aligned nearest subsample handles label heights that
+            # are not exact multiples of the s8 grid (e.g. crop sizes), where
+            # a floor-division stride would produce a shape mismatch
+            cm = confusion_matrix(
+                cm_s8, downsample_labels(cm_lbl, cm_s8.shape[1:3]))
         else:
             cm = confusion_matrix(cm_lg, cm_lbl)
         metrics = {"loss": loss, **terms, "confusion_matrix": cm,
@@ -236,8 +240,6 @@ def make_train_step(loss_fn: Callable, spec, task: int,
             # augmented batch + full-res prediction back for disk triptychs
             x_img = x
             if spec is not None and getattr(spec, "normalise", False):
-                from miccai2021_cataract_semantic_segmentation_tpu.ops.augment import (
-                    IMAGENET_MEAN, IMAGENET_STD)
                 x_img = x * IMAGENET_STD + IMAGENET_MEAN
             metrics["debug_img"] = (jnp.clip(x_img, 0.0, 1.0) * 255).astype(jnp.uint8)
             metrics["debug_lbl"] = lbl.astype(jnp.uint8)

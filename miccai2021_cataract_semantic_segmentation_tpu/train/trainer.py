@@ -281,7 +281,6 @@ class Trainer:
         self.best_loss = float("inf")
         self.metrics = {}
         self.adaptive_sampler = None
-        self.debugging = bool(config.get("debugging", False))
         self.log_every_n_epochs = int(config.get("log_every_n_epochs", 100))
         self.log_every_n_steps = int(config.get("log_every_n_steps", 50))
 

@@ -73,7 +73,8 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def _parallel_batches(video_paths, height, width, chunks, workers: int):
+def _parallel_batches(video_paths, height, width, chunks, workers: int,
+                      frame_counts=None):
     """Decode frame batches on `workers` threads, yielding IN ORDER.
 
     Each worker thread owns its own VideoDataset (cv2.VideoCapture handles
@@ -81,7 +82,10 @@ def _parallel_batches(video_paths, height, width, chunks, workers: int):
     cv2 releases the GIL during read/convert/resize. A bounded window of
     futures (workers + 2) keeps decode ahead of the consumer without
     unbounded frame memory. `chunks` is a list of (frame_indices, n_valid)
-    batch descriptors."""
+    batch descriptors. `frame_counts` is the caller's probed per-video
+    counts — the per-thread readers must reuse them so their index->frame
+    mapping matches the offsets the chunks were built from (and so N
+    threads don't re-open and re-probe every container at startup)."""
     import itertools
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -96,7 +100,8 @@ def _parallel_batches(video_paths, height, width, chunks, workers: int):
         indices, n_valid = chunk
         ds = getattr(tls, "ds", None)
         if ds is None:
-            ds = tls.ds = VideoDataset(video_paths, height, width)
+            ds = tls.ds = VideoDataset(video_paths, height, width,
+                                       frame_counts=frame_counts)
         frames, vids = [], []
         for j in indices:
             frame, _, vid = ds[int(j)]
@@ -215,7 +220,8 @@ def demo_infer(trainer, video_paths: list[str] | None = None,
 
     if decode_workers > 1:
         batch_iter = _parallel_batches(video_paths, height, width, chunks,
-                                       decode_workers)
+                                       decode_workers,
+                                       frame_counts=ds.frame_counts)
     else:
         def serial():
             for chunk, n_valid in chunks:

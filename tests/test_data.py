@@ -303,3 +303,29 @@ def test_colorization_dataset(tmp_path):
     # second video reachable and distinct
     rgb2, _ = ds[4]
     assert abs(float(rgb2[0].mean()) - 100) < 8
+
+
+def test_submission_dataset(tmp_path):
+    """SubmissionDataset (reference datasets/Dataset_for_Submission.py:16-22):
+    sorted directory iteration, resize to target, zero dummy label, name in
+    meta for writing the submission files."""
+    import cv2
+    from miccai2021_cataract_semantic_segmentation_tpu.data.dataset import (
+        SubmissionDataset)
+    rng = np.random.default_rng(3)
+    names = ["b_frame2.png", "a_frame1.png", "c_frame3.png"]
+    for k, name in enumerate(names):
+        h, w = (540, 960) if k == 0 else (270, 480)  # one native, two resized
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / name), img)
+
+    ds = SubmissionDataset(str(tmp_path), height=540, width=960)
+    assert len(ds) == 3
+    got_names = []
+    for i in range(len(ds)):
+        img, lbl, meta = ds[i]
+        assert img.shape == (540, 960, 3) and img.dtype == np.uint8
+        assert lbl.shape == (540, 960) and not lbl.any()
+        assert meta["index"] == i
+        got_names.append(meta["name"])
+    assert got_names == sorted(names)  # sorted order regardless of mtime
