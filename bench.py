@@ -47,7 +47,15 @@ def pallas_histogram_tflops(n_cls: int, n_pixels_padded: int,
     bf16 peak, slightly understating achievable MFU."""
     b, p = n_buckets, n_pixels_padded
     fwd_per_class = 8.0 if b > 2048 else (16.0 if b > 512 else 32.0)
-    return (fwd_per_class * b * p * n_cls + 8.0 * b * p * n_cls) / 1e12
+    hist = (fwd_per_class * b * p * n_cls + 8.0 * b * p * n_cls) / 1e12
+    # v4 kernels (round 4) also run the bilinear upsample on the MXU
+    # in-kernel (losses/fused_lovasz.py): per scale-class row, an h-interp
+    # matmul over hs_pad=72 and a W-interp over ws_pad=128 lanes, forward
+    # once and backward twice (prob rebuild + transposed downsample).
+    r_rows = 2 * (n_cls + 1)           # both scales, incl. ignore channel
+    ups = 3.0 * (2.0 * p * 72.0 * r_rows * 128.0 / 1024.0
+                 + 2.0 * p * r_rows * 128.0) / 1e12
+    return hist + ups
 
 
 def _xla_tflops(compiled) -> float | None:

@@ -17,5 +17,6 @@ from miccai2021_cataract_semantic_segmentation_tpu.data.transforms import (  # n
     AffineTransform, CropTransform, pad_reflect, random_flip,
 )
 from miccai2021_cataract_semantic_segmentation_tpu.data.pipeline import (  # noqa: F401
-    epoch_iterator, assemble_batch, pad_or_trim_batches, Prefetcher,
+    epoch_iterator, assemble_batch, pad_or_trim_batches, eval_batches,
+    Prefetcher,
 )

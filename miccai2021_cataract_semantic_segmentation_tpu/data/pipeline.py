@@ -97,6 +97,26 @@ def global_batch_from_process_local(batch, sharding):
             sharding, np.ascontiguousarray(a)), batch)
 
 
+def eval_batches(n: int, bs: int) -> tuple[np.ndarray, int]:
+    """Index batches covering ALL n records at batch size bs.
+
+    The reference evaluates at bs=1 (BaseManager.py:663-669) so it never
+    drops anything; a TPU-first framework wants batched eval (the eval step
+    is ~68% MFU at bs 8) WITHOUT losing the n % bs tail. The tail batch is
+    padded by repeating the last record; returns (batches, n_pad) so the
+    caller can mask the padded rows out of the confusion matrix (set their
+    labels to 255 — out of range for the one-hot, contributing nothing)."""
+    n_full = (n // bs) * bs
+    batches = np.arange(n_full).reshape(-1, bs)
+    n_pad = 0
+    if n_full < n:
+        n_pad = bs - (n - n_full)
+        tail = np.concatenate([np.arange(n_full, n),
+                               np.full((n_pad,), n - 1, dtype=np.int64)])
+        batches = np.concatenate([batches, tail[None]], axis=0)
+    return batches, n_pad
+
+
 class Prefetcher:
     """Runs batch assembly + device_put on a worker thread, keeping up to
     `depth` device batches in flight (double-buffering by default)."""

@@ -22,6 +22,23 @@ from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (  #
 )
 
 
+def _warn_bucket_dial(cfg: dict) -> None:
+    """One-line guard on the `lovasz_buckets` accuracy dial (VERDICT r3
+    item 6): the B=512/256 dials ship for throughput exploration but sit
+    OUTSIDE the twin-verified envelope — the 200-step training-trajectory
+    twins measured monotone loss-trajectory divergence vs the exact sort
+    loss of 3.5% (B=512) and 5.4% (B=256) at the final tail (PERF.md 4.1).
+    B>=1024 is the verified flagship default."""
+    b = int(cfg.get("lovasz_buckets", 2048))
+    if cfg.get("lovasz_impl") == "bucket" and b < 1024:
+        import warnings
+        warnings.warn(
+            f"lovasz_buckets={b} < 1024 leaves the twin-verified envelope "
+            "(measured trajectory divergence: 3.5% at B=512, 5.4% at "
+            "B=256 over 200 steps — PERF.md 4.1); use >=1024 for the "
+            "verified recipe", stacklevel=2)
+
+
 def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels):
     """Route a single-scale bucket Lovász through the fused NCHW kernels
     when the model exposes its pre-upsample logits (losses/fused_lovasz.py).
@@ -53,6 +70,7 @@ def _single_loss(name: str, cfg: dict, task: int):
         w = cfg.get("weights")
         return lambda lg, lb: cross_entropy(lg, lb, ignore_index=ign, class_weights=w)
     if name == "LovaszSoftmax":
+        _warn_bucket_dial(cfg)
         return lambda lg, lb: lovasz_softmax(
             lg, lb,
             classes_to_consider=cfg.get("classes_to_consider", "present"),
@@ -81,6 +99,7 @@ def build_two_scale(cfg: dict, task: int):
 
     The intermediate logits are bilinearly upsampled to label resolution with
     align_corners=False (torch F.upsample's default in the reference)."""
+    _warn_bucket_dial(cfg)
     interm_cfg = dict(cfg.get("interm", {"name": "CrossEntropyLoss"}))
     final_cfg = dict(cfg.get("final", {"name": "CrossEntropyLoss"}))
     w_interm = interm_cfg.get("weight", 0.4)

@@ -4,19 +4,30 @@ Round-1's bucket Lovász kernel was fast (23 ms) but the XLA glue around it
 cost ~100 ms/step: transposing full-res NHWC logits into the kernel's
 class-major row layout lowered to 17-step while loops of
 dynamic-update-slices, and any reshape that merges batch into the pixel
-lane dim forces a tile relayout. This module removes all of it by keeping
-everything in the layouts XLA produces natively:
+lane dim forces a tile relayout. Round 3 (the "v3" kernels, kept as an A/B
+fallback via CADIS_FUSED_V3=1) removed the glue by blocking the upsampled
+logits in their native (N, C, H, W) layout — but still materialised the
+two full-res f32 logit grids in HBM (~3 GB/step R+W across fwd+bwd,
+PERF.md 2.2) purely as the interface between the `upsample_nchw`
+dot_generals and the kernels.
 
-  * the class transpose happens at STRIDE 8 (1.1 M elements, free) and the
-    bilinear upsample to label resolution runs as two plain dot_generals
-    into (N, C, H, W) with W minor (`upsample_nchw`) — the interpolation
-    matrices match ops/resize exactly, and the width is zero-padded to a
-    lane multiple inside the matmul for free;
-  * the kernels consume (1, C, bh, W) blocks of that tensor directly:
-    softmax over C, fg/error construction, bucketing, and the histogram
-    matmuls all happen in-kernel (backward additionally applies the
-    softmax VJP and emits dL/dlogits in the same blocks) — no
-    intermediate array ever exists in HBM;
+Round 4 (the "v4" kernels, the default) moves the bilinear interpolation
+INSIDE the kernels, so the full-res grids never exist anywhere:
+
+  * stride-8 logits arrive packed as (N, hs_pad, R*ws_pad) — R class rows
+    (both scales), each ws_pad lanes wide. Per grid cell, ONE MXU matmul
+    h-interpolates every row at once and per-group M-stacked matmuls
+    (g = 128//bh classes per pass = full systolic-array rows)
+    w-interpolate the (C, bh, W) tile into VMEM scratch;
+  * softmax over C, fg/error construction, bucketing, and the histogram
+    matmuls run in-kernel as before; backward rebuilds the probs the same
+    way, applies the softmax VJP, then the TRANSPOSED interpolation
+    in-kernel and accumulates the stride-8 gradient block (1, hs_pad,
+    R*ws_pad) across row cells — gradients leave at stride-8 size;
+  * the interpolation matrices are the exact `_interp_matrix` coefficients
+    of ops/resize: the v4 forward is bit-identical to v3 on the bench
+    workload and gradients agree at relL2 ~5e-9 (tools/check_fused_v4.py
+    on a real v5e);
   * sublane->lane flattening inside a kernel cannot be a vector op
     (Mosaic rejects the shape cast), so values are staged through VMEM
     scratch refs: ref reads yield canonical-layout values and
@@ -103,20 +114,39 @@ def _pick_bh(h: int, cap: int = 8) -> int:
     the full dim), so callers pad H to a multiple of 8 first (zero rows in
     the interpolation matrix + ignore rows in the labels — both free).
 
-    The cap differs per direction: the fwd kernels fit bh=16 in VMEM and
-    halving the grid-cell count shaves per-cell overheads (15.3 -> 14.5 ms
-    measured at the bench shape); the two-scale bwd kernel's extra dscr/
-    output blocks put bh=16 76 KB over the 16 MB scoped-vmem limit, so
-    backward stays at 8."""
-    for bh in (cap, 8):
-        if h % bh == 0 and bh <= cap:
+    The caps are measured optima at the bench shape (fewer grid cells =
+    less per-cell overhead, but past ~32 rows the block stops fitting even
+    the raised vmem budget; see _VMEM_LIMIT)."""
+    for bh in (cap, 32, 16, 8):
+        if bh <= cap and h % bh == 0:
             return bh
     raise ValueError(f"fused Lovász needs H padded to a multiple of 8, got {h}")
 
 
-_FWD_BH_CAP = 16
-_BWD_BH_CAP = 8      # two-scale bwd: bh=16 is 76 KB over the vmem limit
-_BWD1_BH_CAP = 16    # single-scale bwd carries half the blocks; 16 fits
+import os
+
+_FWD_BH_CAP = int(os.environ.get("CADIS_FUSED_FWD_BH", 16))
+_BWD_BH_CAP = int(os.environ.get("CADIS_FUSED_BWD_BH", 8))
+_BWD1_BH_CAP = int(os.environ.get("CADIS_FUSED_BWD1_BH", 16))
+# Mosaic's default scoped-vmem budget is 16 MB; v5e has 128 MB of physical
+# VMEM. Raising the per-kernel limit lets the block heights above grow
+# past round 3's caps (bigger blocks = fewer grid cells = less per-cell
+# overhead). 64 MB leaves plenty for XLA's own fusions in the same program.
+_VMEM_LIMIT = int(os.environ.get("CADIS_FUSED_VMEM_MB", 64)) * 1024 * 1024
+# Escape hatch back to the round-3 kernels (full-res logit grids in HBM
+# between XLA upsample dot_generals and the kernels) for A/B comparison.
+_USE_V3 = os.environ.get("CADIS_FUSED_V3") == "1"
+# The v4 kernels' small input blocks fit much larger block heights than the
+# v3 ones (whose (1, C, bh, W) logit blocks dominated VMEM), and larger bh
+# halves both the grid-cell count and the M-stacked matmul pass count.
+# (v3 at bh=32 also compiles pathologically slowly in Mosaic — its caps
+# stay at the round-3 values above.)
+_FU_FWD_BH_CAP = int(os.environ.get("CADIS_FU_FWD_BH", 32))
+_FU_BWD_BH_CAP = int(os.environ.get("CADIS_FU_BWD_BH", 16))
+
+
+def _cparams():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _softmax_rows(x):
@@ -161,10 +191,6 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    k = bh * w
-    n_b = hi_n * lo_n
-    cols = 2 * lo_n
-    paired = 2 * hi_n <= 128 and 2 * cols <= 128
     sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
@@ -172,6 +198,19 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
     sscr[...] = _softmax_rows(lf_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+    _twoscale_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
+                        w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+
+
+def _twoscale_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
+                        hi_n, lo_n):
+    """Histogram accumulation from staged (2C, K) probs + (1, K) labels —
+    shared by the v3 (pre-upsampled grids) and v4 (in-kernel upsample)
+    forward kernels. See _nchw_fwd_kernel for the packing layouts."""
+    k = bh * w
+    n_b = hi_n * lo_n
+    cols = 2 * lo_n
+    paired = 2 * hi_n <= 128 and 2 * cols <= 128
     lbl = lscr[0:1, :]                                   # (1, K) i32
     valid = (lbl >= 0).astype(jnp.float32)
     # ignore-labeled pixels are excluded from the histogram entirely (same
@@ -263,18 +302,13 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
         jax.lax.fori_loop(0, 2 * n_cls, row, 0)
 
 
-def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
-                     pscr, dscr, sscr, lscr, *, n_cls, bh, w, w_real,
-                     hi_n, lo_n):
+def _degrad_rows(pscr, dscr, lscr, tbl_ref, *, n_rows, n_cls, bh, w, w_real,
+                 hi_n, lo_n):
+    """Fill dscr rows with dL/dp from staged probs + the VJP bucket tables,
+    including the softmax VJP per scale — shared by the v3 and v4 backward
+    kernels (two-scale: n_rows = 2C; single-scale: n_rows = C)."""
     k = bh * w
     n_b = hi_n * lo_n
-    sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
-    for j in range(bh):
-        pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
-        lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
-    sscr[...] = _softmax_rows(lf_ref[0].astype(jnp.float32))
-    for j in range(bh):
-        pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
     lbl = lscr[0:1, :]
     valid = (lbl >= 0).astype(jnp.float32)
     if w_real != w:
@@ -302,14 +336,30 @@ def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
         dscr[pl.ds(r, 1), :] = jnp.where(fg, -de, de) * valid
         return 0
 
-    jax.lax.fori_loop(0, 2 * n_cls, row, 0)
+    jax.lax.fori_loop(0, n_rows, row, 0)
 
-    for si, dref in ((0, dli_ref), (1, dlf_ref)):
+    for si in range(n_rows // n_cls):
         lo_r, hi_r = si * n_cls, (si + 1) * n_cls
         pf = pscr[lo_r:hi_r, :]                          # (C, K)
         dp = dscr[lo_r:hi_r, :]
         s = jnp.sum(dp * pf, axis=0, keepdims=True)      # softmax VJP
         dscr[lo_r:hi_r, :] = pf * (dp - s)
+
+
+def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
+                     pscr, dscr, sscr, lscr, *, n_cls, bh, w, w_real,
+                     hi_n, lo_n):
+    sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+        lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
+    sscr[...] = _softmax_rows(lf_ref[0].astype(jnp.float32))
+    for j in range(bh):
+        pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+    _degrad_rows(pscr, dscr, lscr, tbl_ref, n_rows=2 * n_cls, n_cls=n_cls,
+                 bh=bh, w=w, w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+    for si, dref in ((0, dli_ref), (1, dlf_ref)):
+        lo_r, hi_r = si * n_cls, (si + 1) * n_cls
         for j in range(bh):
             dref[0, :, j, :] = dscr[lo_r:hi_r, pl.ds(j * w, w)]
 
@@ -360,6 +410,7 @@ def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
                         pltpu.VMEM((c, bh, w), jnp.float32),
                         pltpu.VMEM((1, bh * w), jnp.int32)],
         interpret=_use_interpret(),
+        compiler_params=_cparams(),
     )(labels, logits_i, logits_f)
     r = 2 * c
     out = out.reshape(r, hi_n, 2, lo_n).astype(jnp.float32)
@@ -402,6 +453,7 @@ def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
                         pltpu.VMEM((c, bh, w), jnp.float32),
                         pltpu.VMEM((1, bh * w), jnp.int32)],
         interpret=_use_interpret(),
+        compiler_params=_cparams(),
     )(labels, logits_i, logits_f, tbl)
 
 
@@ -477,6 +529,320 @@ def upsample_nchw(logits_small: jnp.ndarray, out_hw: tuple[int, int],
 
 
 # ---------------------------------------------------------------------------
+# v4: in-kernel bilinear upsample (round 4). v3's full-res (N, C, H, W) f32
+# logit grids were ~3 GB/step of HBM traffic whose only purpose was to carry
+# data between the upsample dot_generals and the kernels (PERF.md 2.2).
+# These kernels take the stride-8 logits in a packed (N, hs_pad, R*ws_pad)
+# lane-blocked layout (R = n_scales*C class rows, each ws_pad lanes wide)
+# plus the two interpolation matrices, and build each (C, bh, W) tile in
+# VMEM with MXU matmuls:
+#   1. ONE (bh, hs_pad) x (hs_pad, R*ws_pad) matmul h-interpolates every
+#      class row of the block at once;
+#   2. per group of g = 128//bh classes, a lane-sliced M-stack feeds ONE
+#      (g*bh, ws_pad) x (ws_pad, W) matmul — full systolic-array rows, so
+#      the skinny per-class form never hits the MXU.
+# Backward rebuilds the probs the same way, then applies the TRANSPOSED
+# interpolation in-kernel (W-downsample via mw^T with the same M-stacking,
+# then one h-transpose matmul over the whole packed layout) and accumulates
+# the (1, hs_pad, R*ws_pad) stride-8 gradient block across row cells. The
+# full-res logit and gradient grids never exist anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref, *, n_scales,
+                    n_cls, bh, w, ws_pad):
+    """Width-interpolate u1scr's h-interpolated rows and stage softmax probs
+    of every scale into pscr's flattened (R, K) layout (labels into lscr)."""
+    gmax = max(1, 128 // bh)
+    for j in range(bh):
+        lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
+    for si in range(n_scales):
+        r = 0
+        while r < n_cls:
+            g = min(gmax, n_cls - r)
+            row0 = si * n_cls + r
+            parts = [u1scr[:, (row0 + t) * ws_pad:(row0 + t + 1) * ws_pad]
+                     for t in range(g)]
+            a = parts[0] if g == 1 else jnp.concatenate(parts, axis=0)
+            tt = jax.lax.dot_general(
+                a, mw_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (g*bh, w)
+            for t in range(g):
+                sscr[pl.ds(r + t, 1)] = tt[t * bh:(t + 1) * bh][None]
+            r += g
+        sscr[...] = _softmax_rows(sscr[...])
+        for j in range(bh):
+            pscr[si * n_cls:(si + 1) * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
+
+
+def _fu_fwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
+                   u1scr, pscr, sscr, lscr, *, n_scales, n_cls, bh, w,
+                   w_real, hi_n, lo_n, ws_pad):
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    u1scr[...] = jax.lax.dot_general(
+        mhT_ref[...], ls_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (bh, R*ws_pad)
+    _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref,
+                    n_scales=n_scales, n_cls=n_cls, bh=bh, w=w,
+                    ws_pad=ws_pad)
+    if n_scales == 2:
+        _twoscale_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
+                            w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+    else:
+        _single_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+
+
+def _fu_bwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref, tbl_ref,
+                   dls_ref, u1scr, pscr, dscr, sscr, lscr,
+                   *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+
+    u1scr[...] = jax.lax.dot_general(
+        mhT_ref[...], ls_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref,
+                    n_scales=n_scales, n_cls=n_cls, bh=bh, w=w,
+                    ws_pad=ws_pad)
+    _degrad_rows(pscr, dscr, lscr, tbl_ref, n_rows=n_scales * n_cls,
+                 n_cls=n_cls, bh=bh, w=w, w_real=w_real, hi_n=hi_n,
+                 lo_n=lo_n)
+    # transposed interpolation: dscr (R, K) -> stride-8 grads. u1scr is dead
+    # after the prob rebuild and is reused as the (bh, R*ws_pad) staging
+    # buffer for the W-downsampled rows.
+    gmax = max(1, 128 // bh)
+    for si in range(n_scales):
+        lo_r = si * n_cls
+        for j in range(bh):
+            sscr[:, j, :] = dscr[lo_r:lo_r + n_cls, pl.ds(j * w, w)]
+        r = 0
+        while r < n_cls:
+            g = min(gmax, n_cls - r)
+            parts = [sscr[r + t] for t in range(g)]          # (bh, w) each
+            a = parts[0] if g == 1 else jnp.concatenate(parts, axis=0)
+            dw = jax.lax.dot_general(
+                a, mwT_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (g*bh, ws_pad)
+            for t in range(g):
+                c0 = (lo_r + r + t) * ws_pad
+                u1scr[:, c0:c0 + ws_pad] = dw[t * bh:(t + 1) * bh]
+            r += g
+    dsm = jax.lax.dot_general(
+        mhT_ref[...], u1scr[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (hs_pad, R*wsp)
+    dls_ref[...] += dsm[None]
+
+
+def _fu_prep(parts, hs_pad, ws_pad):
+    """[(N, hs, ws, C)] per scale -> packed (N, hs_pad, R*ws_pad) f32."""
+    n, hs, ws, _ = parts[0].shape
+    ls = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    ls = ls.transpose(0, 1, 3, 2).astype(jnp.float32)        # (N, hs, R, ws)
+    ls = jnp.pad(ls, ((0, 0), (0, hs_pad - hs), (0, 0), (0, ws_pad - ws)))
+    return ls.reshape(n, hs_pad, ls.shape[2] * ws_pad)
+
+
+def _fu_mats(hs, ws, hs_pad, ws_pad, out_hw, h_pad, w_pad, align):
+    """Zero-padded interpolation matrices: mhT (h_pad, hs_pad),
+    mw (ws_pad, w_pad), mwT (w_pad, ws_pad). Identical coefficients to
+    upsample_nchw / ops.resize; pad rows/cols are zero so padded target
+    pixels get zero logits (excluded via ignore labels) and padded source
+    rows get zero gradients."""
+    oh, ow = out_hw
+    mh = _interp_matrix(hs, oh, align).T                     # (hs, oh)
+    mh = np.pad(mh, ((0, hs_pad - hs), (0, h_pad - oh)))
+    mw = _interp_matrix(ws, ow, align).T                     # (ws, ow)
+    mw = np.pad(mw, ((0, ws_pad - ws), (0, w_pad - ow)))
+    return (jnp.asarray(np.ascontiguousarray(mh.T), jnp.float32),
+            jnp.asarray(mw, jnp.float32),
+            jnp.asarray(np.ascontiguousarray(mw.T), jnp.float32))
+
+
+def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
+                  w_real: int, n_buckets: int):
+    hi_n, lo_n = _bucket_split(n_buckets)
+    n, hs_pad, lanes = ls2d.shape
+    r_rows = n_scales * n_cls
+    ws_pad = lanes // r_rows
+    h_pad, w_pad = labels.shape[1], labels.shape[2]
+    out = pl.pallas_call(
+        functools.partial(_fu_fwd_kernel, n_scales=n_scales, n_cls=n_cls,
+                          bh=bh, w=w_pad, w_real=w_real, hi_n=hi_n,
+                          lo_n=lo_n, ws_pad=ws_pad),
+        grid=(n, h_pad // bh),
+        in_specs=[
+            pl.BlockSpec((1, bh, w_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hs_pad, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, hs_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws_pad, w_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r_rows, hi_n, 2 * lo_n),
+                               lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_rows, hi_n, 2 * lo_n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bh, lanes), jnp.float32),
+                        pltpu.VMEM((r_rows, bh * w_pad), jnp.float32),
+                        pltpu.VMEM((n_cls, bh, w_pad), jnp.float32),
+                        pltpu.VMEM((1, bh * w_pad), jnp.int32)],
+        interpret=_use_interpret(),
+        compiler_params=_cparams(),
+    )(labels, ls2d, mhT, mw)
+    out = out.reshape(r_rows, hi_n, 2, lo_n).astype(jnp.float32)
+    n_bg = out[:, :, 0].reshape(r_rows, n_buckets)
+    n_fg = out[:, :, 1].reshape(r_rows, n_buckets)
+    mid = _bucket_midpoints(n_buckets)
+    return jnp.stack([n_fg, n_bg, n_fg * mid, n_bg * mid], axis=-1)
+
+
+def _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, n_scales: int, n_cls: int,
+             bh: int, w_real: int, n_buckets: int):
+    hi_n, lo_n = _bucket_split(n_buckets)
+    n, hs_pad, lanes = ls2d.shape
+    r_rows = n_scales * n_cls
+    ws_pad = lanes // r_rows
+    h_pad, w_pad = labels.shape[1], labels.shape[2]
+    return pl.pallas_call(
+        functools.partial(_fu_bwd_kernel, n_scales=n_scales, n_cls=n_cls,
+                          bh=bh, w=w_pad, w_real=w_real, hi_n=hi_n,
+                          lo_n=lo_n, ws_pad=ws_pad),
+        grid=(n, h_pad // bh),
+        in_specs=[
+            pl.BlockSpec((1, bh, w_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hs_pad, lanes), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, hs_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ws_pad, w_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_pad, ws_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_rows, 2 * lo_n, hi_n), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hs_pad, lanes), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hs_pad, lanes), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bh, lanes), jnp.float32),
+                        pltpu.VMEM((r_rows, bh * w_pad), jnp.float32),
+                        pltpu.VMEM((r_rows, bh * w_pad), jnp.float32),
+                        pltpu.VMEM((n_cls, bh, w_pad), jnp.float32),
+                        pltpu.VMEM((1, bh * w_pad), jnp.int32)],
+        interpret=_use_interpret(),
+        compiler_params=_cparams(),
+    )(labels, ls2d, mhT, mw, mwT, tbl)
+
+
+def _fu_core_fwd(parts, labels, n_cls, bh, out_hw, n_buckets, align):
+    n, hs, ws, _ = parts[0].shape
+    hs_pad = -(-hs // 8) * 8
+    ws_pad = -(-ws // 128) * 128
+    h_pad, w_pad = labels.shape[1], labels.shape[2]
+    mhT, mw, _ = _fu_mats(hs, ws, hs_pad, ws_pad, out_hw, h_pad, w_pad, align)
+    ls2d = _fu_prep(parts, hs_pad, ws_pad)
+    return _fu_histogram(ls2d, labels, mhT, mw, len(parts), n_cls, bh,
+                         out_hw[1], n_buckets)
+
+
+def _fu_core_bwd(parts, labels, g_fg, g_bg, ct, n_cls, bh, out_hw,
+                 n_buckets, align):
+    """Shared VJP tail: build the bucket-gradient tables, run the grad
+    kernel, unpack the packed stride-8 layout back to per-scale NHWC."""
+    n, hs, ws, c = parts[0].shape
+    hs_pad = -(-hs // 8) * 8
+    ws_pad = -(-ws // 128) * 128
+    h_pad, w_pad = labels.shape[1], labels.shape[2]
+    hi_n, lo_n = _bucket_split(n_buckets)
+    r_rows = g_fg.shape[0]
+    gf = (g_fg * ct[:, None]).reshape(r_rows, hi_n, lo_n)
+    gb = (g_bg * ct[:, None]).reshape(r_rows, hi_n, lo_n)
+    tbl = jnp.concatenate([gb, gf], axis=-1).transpose(0, 2, 1)
+    mhT, mw, mwT = _fu_mats(hs, ws, hs_pad, ws_pad, out_hw, h_pad, w_pad,
+                            align)
+    ls2d = _fu_prep(parts, hs_pad, ws_pad)
+    dls = _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, len(parts), n_cls, bh,
+                   out_hw[1], n_buckets)
+    d = dls.reshape(n, hs_pad, r_rows, ws_pad)[:, :hs, :, :ws]
+    d = d.transpose(0, 1, 3, 2)                          # (N, hs, ws, R)
+    return [d[..., i * c:(i + 1) * c].astype(p.dtype)
+            for i, p in enumerate(parts)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def lovasz_two_scale_s8(li_s8, lf_s8, labels, n_cls: int,
+                        bhs: tuple[int, int], out_hw: tuple[int, int],
+                        n_buckets: int = 2048):
+    """Two-scale bucket-Lovász straight from stride-8 NHWC logits with the
+    align_corners=True bilinear upsample fused into the kernels (v4).
+
+    `labels` (N, H_pad, W_pad) i32 with ignore pixels folded to -1 and all
+    padding (lanes >= out_hw[1], rows >= out_hw[0]) set to -1. Returns
+    (per_row (2C,), gts (2C,)): rows [0, C) interm scale, [C, 2C) final."""
+    per_row, gts, _, _ = _losses_and_tables(
+        _fu_core_fwd([li_s8, lf_s8], labels, n_cls, bhs[0], out_hw,
+                     n_buckets, True))
+    return per_row, gts
+
+
+def _fu2_fwd(li_s8, lf_s8, labels, n_cls, bhs, out_hw, n_buckets):
+    per_row, gts, g_fg, g_bg = _losses_and_tables(
+        _fu_core_fwd([li_s8, lf_s8], labels, n_cls, bhs[0], out_hw,
+                     n_buckets, True))
+    return (per_row, gts), (li_s8, lf_s8, labels, g_fg, g_bg)
+
+
+def _fu2_bwd(n_cls, bhs, out_hw, n_buckets, res, cts):
+    li_s8, lf_s8, labels, g_fg, g_bg = res
+    dli, dlf = _fu_core_bwd([li_s8, lf_s8], labels, g_fg, g_bg, cts[0],
+                            n_cls, bhs[1], out_hw, n_buckets, True)
+    return dli, dlf, None
+
+
+lovasz_two_scale_s8.defvjp(_fu2_fwd, _fu2_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def lovasz_single_s8(lg_s8, labels, n_cls: int, bhs: tuple[int, int],
+                     out_hw: tuple[int, int], n_buckets: int,
+                     align_corners: bool):
+    """Single-scale bucket-Lovász from stride-8 NHWC logits with the model's
+    final bilinear upsample fused into the kernels (v4)."""
+    per_class, gts, _, _ = _losses_and_tables(
+        _fu_core_fwd([lg_s8], labels, n_cls, bhs[0], out_hw, n_buckets,
+                     align_corners))
+    return per_class, gts
+
+
+def _fu1_fwd(lg_s8, labels, n_cls, bhs, out_hw, n_buckets, align_corners):
+    per_class, gts, g_fg, g_bg = _losses_and_tables(
+        _fu_core_fwd([lg_s8], labels, n_cls, bhs[0], out_hw, n_buckets,
+                     align_corners))
+    return (per_class, gts), (lg_s8, labels, g_fg, g_bg)
+
+
+def _fu1_bwd(n_cls, bhs, out_hw, n_buckets, align_corners, res, cts):
+    lg_s8, labels, g_fg, g_bg = res
+    (dlg,) = _fu_core_bwd([lg_s8], labels, g_fg, g_bg, cts[0], n_cls,
+                          bhs[1], out_hw, n_buckets, align_corners)
+    return dlg, None
+
+
+lovasz_single_s8.defvjp(_fu1_fwd, _fu1_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public entry: fused two-scale Lovász from stride-8 logits
 # ---------------------------------------------------------------------------
 
@@ -494,16 +860,22 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
     if classes_to_ignore is not None:
         lbl = jnp.where(lbl == classes_to_ignore, -1, lbl)
     h_pad = -(-h // 8) * 8
-    bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD_BH_CAP))
     w_pad = -(-w // 128) * 128
-    li = upsample_nchw(interm_logits_s8, (h, w), w_pad=w_pad,
-                       h_pad=h_pad).astype(jnp.float32)
-    lf = upsample_nchw(final_logits_s8, (h, w), w_pad=w_pad,
-                       h_pad=h_pad).astype(jnp.float32)
     if w_pad != w or h_pad != h:
         lbl = jnp.pad(lbl, ((0, 0), (0, h_pad - h), (0, w_pad - w)),
                       constant_values=-1)
-    per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bhs, w, n_buckets)
+    if not _USE_V3:
+        bhs = (_pick_bh(h_pad, _FU_FWD_BH_CAP), _pick_bh(h_pad, _FU_BWD_BH_CAP))
+        per_row, gts = lovasz_two_scale_s8(interm_logits_s8, final_logits_s8,
+                                           lbl, c, bhs, (h, w), n_buckets)
+    else:
+        bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD_BH_CAP))
+        li = upsample_nchw(interm_logits_s8, (h, w), w_pad=w_pad,
+                           h_pad=h_pad).astype(jnp.float32)
+        lf = upsample_nchw(final_logits_s8, (h, w), w_pad=w_pad,
+                           h_pad=h_pad).astype(jnp.float32)
+        per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bhs, w,
+                                             n_buckets)
     present = (gts > 0).astype(jnp.float32)
     pr_i, pr_f = present[:c], present[c:]
     loss_i = jnp.sum(per_row[:c] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
@@ -526,14 +898,22 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    k = bh * w
-    n_b = hi_n * lo_n
-    cols = 2 * lo_n
-    paired = 2 * hi_n <= 128 and 2 * cols <= 128
     sscr[...] = _softmax_rows(lg_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
         lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
+    _single_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
+                      w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+
+
+def _single_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
+                      hi_n, lo_n):
+    """Single-scale histogram accumulation from staged probs — shared by
+    the v3 and v4 forward kernels (class-paired MXU packing)."""
+    k = bh * w
+    n_b = hi_n * lo_n
+    cols = 2 * lo_n
+    paired = 2 * hi_n <= 128 and 2 * cols <= 128
     lbl = lscr[0:1, :]
     valid = (lbl >= 0).astype(jnp.float32)
     # ignore pixels excluded exactly via bid=-1; count-only int8 histogram
@@ -619,43 +999,12 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
 
 def _nchw1_bwd_kernel(lbl_ref, lg_ref, tbl_ref, dlg_ref, pscr, dscr, sscr,
                       lscr, *, n_cls, bh, w, w_real, hi_n, lo_n):
-    k = bh * w
-    n_b = hi_n * lo_n
     sscr[...] = _softmax_rows(lg_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
         lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
-    lbl = lscr[0:1, :]
-    valid = (lbl >= 0).astype(jnp.float32)
-    if w_real != w:
-        kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
-        valid = valid * (kio % w < w_real).astype(jnp.float32)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
-
-    def row(r, _):
-        prow = pscr[pl.ds(r, 1), :] * valid
-        fg = lbl == r
-        e = jnp.abs(fg.astype(jnp.float32) - prow)
-        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
-        hi = bid // lo_n
-        comb = bid % lo_n + lo_n * fg.astype(jnp.int32)
-        oh_hi = (hi == iota_h).astype(jnp.bfloat16)
-        tbl = tbl_ref[r, :, :].astype(jnp.bfloat16)
-        tmp = jax.lax.dot_general(
-            tbl, oh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        de = jnp.sum(jnp.where(comb == iota_c, tmp, 0.0), axis=0,
-                     keepdims=True)
-        dscr[pl.ds(r, 1), :] = jnp.where(fg, -de, de) * valid
-        return 0
-
-    jax.lax.fori_loop(0, n_cls, row, 0)
-
-    pf = pscr[0:n_cls, :]
-    dp = dscr[0:n_cls, :]
-    s = jnp.sum(dp * pf, axis=0, keepdims=True)          # softmax VJP
-    dscr[0:n_cls, :] = pf * (dp - s)
+    _degrad_rows(pscr, dscr, lscr, tbl_ref, n_rows=n_cls, n_cls=n_cls,
+                 bh=bh, w=w, w_real=w_real, hi_n=hi_n, lo_n=lo_n)
     for j in range(bh):
         dlg_ref[0, :, j, :] = dscr[0:n_cls, pl.ds(j * w, w)]
 
@@ -680,6 +1029,7 @@ def _nchw1_histogram(logits, labels, bh: int, w_real: int, n_buckets: int):
                         pltpu.VMEM((c, bh, w), jnp.float32),
                         pltpu.VMEM((1, bh * w), jnp.int32)],
         interpret=_use_interpret(),
+        compiler_params=_cparams(),
     )(labels, logits)
     out = out.reshape(c, hi_n, 2, lo_n).astype(jnp.float32)
     n_bg = out[:, :, 0].reshape(c, n_buckets)
@@ -711,6 +1061,7 @@ def _nchw1_grad(logits, labels, tbl, bh: int, w_real: int, n_buckets: int):
                         pltpu.VMEM((c, bh, w), jnp.float32),
                         pltpu.VMEM((1, bh * w), jnp.int32)],
         interpret=_use_interpret(),
+        compiler_params=_cparams(),
     )(labels, logits, tbl)
 
 
@@ -765,14 +1116,19 @@ def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
     if classes_to_ignore is not None:
         lbl = jnp.where(lbl == classes_to_ignore, -1, lbl)
     h_pad = -(-h // 8) * 8
-    bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD1_BH_CAP))
     w_pad = -(-w // 128) * 128
-    lg = upsample_nchw(logits_s8, (h, w), align_corners=align_corners,
-                       w_pad=w_pad, h_pad=h_pad).astype(jnp.float32)
     if w_pad != w or h_pad != h:
         lbl = jnp.pad(lbl, ((0, 0), (0, h_pad - h), (0, w_pad - w)),
                       constant_values=-1)
-    per_class, gts = lovasz_single_nchw(lg, lbl, bhs, w, n_buckets)
+    if not _USE_V3:
+        bhs = (_pick_bh(h_pad, _FU_FWD_BH_CAP), _pick_bh(h_pad, _FU_BWD_BH_CAP))
+        per_class, gts = lovasz_single_s8(logits_s8, lbl, c, bhs, (h, w),
+                                          n_buckets, align_corners)
+    else:
+        bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD1_BH_CAP))
+        lg = upsample_nchw(logits_s8, (h, w), align_corners=align_corners,
+                           w_pad=w_pad, h_pad=h_pad).astype(jnp.float32)
+        per_class, gts = lovasz_single_nchw(lg, lbl, bhs, w, n_buckets)
     if classes_to_consider in (None, "present", "all"):
         class_mask = jnp.ones(c)
     else:

@@ -28,7 +28,7 @@ from miccai2021_cataract_semantic_segmentation_tpu.data import (
     ArrayDataset, RepeatFactorSampler, AdaptiveBatchSampler, SegDataset,
     DeviceAugmentSpec, build_transform_pipeline, load_frame_table, split_dataframes,
     oversample_indices, weighted_random_weights, weighted_random_epoch,
-    epoch_iterator, pad_or_trim_batches,
+    epoch_iterator, pad_or_trim_batches, eval_batches, assemble_batch,
 )
 from miccai2021_cataract_semantic_segmentation_tpu.losses import build_loss
 from miccai2021_cataract_semantic_segmentation_tpu.models import build_model
@@ -46,6 +46,18 @@ from miccai2021_cataract_semantic_segmentation_tpu.train.state import create_tra
 from miccai2021_cataract_semantic_segmentation_tpu.train.steps import (
     make_train_step, make_eval_step, make_eval_loss_step,
 )
+
+
+def _mask_tail_labels(labels, n_real: int):
+    """Mask the padded (repeated) rows of an eval tail batch with 255 so
+    they one-hot to zero rows in the confusion matrix (exact exclusion,
+    ops/metrics.py:confusion_matrix). Done host-side: a device .at[].set
+    would compile a one-off scatter program inside the timed loop (~2 s on
+    the axon tunnel) — the tail batch's labels are a few MB, so a D2H/H2D
+    round-trip is the cheaper path by three orders of magnitude."""
+    lbl = np.asarray(labels).copy()
+    lbl[n_real:] = 255
+    return lbl
 
 
 def _uses_bucket_lovasz(loss_cfg: dict) -> bool:
@@ -107,7 +119,13 @@ class Trainer:
             self.valid_set = SegDataset(self.valid_df, self.task,
                                         config.get("data_path"))
         self.batch_size = int(dcfg.get("batch_size", 8))
-        self.valid_batch_size = int(config.get("valid_batch_size", 1))
+        # reference default is bs=1 (BaseManager.py:663-669) — wasteful on a
+        # TPU, where the eval step runs at ~68% MFU at bs 8. Batched eval is
+        # metric-exact at any bs (tail padding + masking, see validate()),
+        # so default to 8 on TPU backends; explicit configs still win.
+        default_vbs = 8 if jax.default_backend() in ("tpu", "axon") else 1
+        self.valid_batch_size = int(config.get("valid_batch_size",
+                                               default_vbs))
         if self.semi:
             assert self.batch_size % 2 == 0, \
                 "semi-supervised mode splits each batch half/half " \
@@ -531,20 +549,43 @@ class Trainer:
 
     # ------------------------------------------------------------ validate
     def validate(self, epoch: int):
+        """Full-coverage batched validation: every record contributes to the
+        confusion matrix at ANY valid_batch_size. The tail batch (n % bs
+        records) is padded by repeating the last record and the padded rows
+        are masked out of the matrix exactly (label 255 one-hots to a zero
+        row, ops/metrics.py:confusion_matrix), so mIoU/PA/PAC are identical
+        at bs=1 and bs=8 (test_batched_validation.py). The validation LOSS
+        is averaged over the full batches only: batching already changes
+        loss aggregation semantics vs the reference's bs=1 loop (Lovász with
+        per_image=False is a joint loss over the batch, BaseManager.py:
+        663-669), so the <=bs-1 tail records are metric-only."""
         cm_total = None
         loss_total, n_batches = 0.0, 0
         n = len(self.valid_set)
         bs = self.valid_batch_size
-        batches = np.arange((n // bs) * bs).reshape(-1, bs)
+        batches, n_pad = eval_batches(n, bs)
         max_imgs = int(self.config.get("max_valid_imgs", 10))
         logged = 0
-        for images, labels, idx in epoch_iterator(self.valid_set, batches,
-                                                  None, seed=0, prefetch=2):
-            logits, lbl, cm, loss = self.eval_loss_step(self.state, images,
-                                                        labels, epoch)
+        n_b = len(batches)
+        for bi, (images, labels, idx) in enumerate(epoch_iterator(
+                self.valid_set, batches, None, seed=0, prefetch=2)):
+            if n_pad and bi == n_b - 1 and n_b > 1:
+                labels = _mask_tail_labels(labels, bs - n_pad)
+                logits, lbl, cm = self.eval_step(self.state, images, labels)
+            elif n_pad and bi == n_b - 1:
+                # n < bs: the padded tail is the ONLY batch — keep the loss
+                # (masked rows contribute ~nothing to CE/Lovász-with-ignore)
+                labels = _mask_tail_labels(labels, bs - n_pad)
+                logits, lbl, cm, loss = self.eval_loss_step(self.state, images,
+                                                            labels, epoch)
+                loss_total += float(loss)
+                n_batches += 1
+            else:
+                logits, lbl, cm, loss = self.eval_loss_step(self.state, images,
+                                                            labels, epoch)
+                loss_total += float(loss)
+                n_batches += 1
             cm_total = cm if cm_total is None else cm_total + cm
-            loss_total += float(loss)
-            n_batches += 1
             if logged < max_imgs:
                 self._log_valid_image(np.asarray(images[0]),
                                       np.asarray(lbl[0]),
@@ -647,17 +688,34 @@ class Trainer:
         cm_total = None
         n = len(self.valid_set)
         bs = self.valid_batch_size
-        batches = np.arange((n // bs) * bs).reshape(-1, bs)
+        batches, n_pad = eval_batches(n, bs)
+        n_b = len(batches)
         # sample-prediction triptychs at linspace record positions
         # (BaseManager.py:670-678)
         max_imgs = int(self.config.get("max_valid_imgs", 10))
         log_at = set(np.round(np.linspace(0, len(batches) - 1,
                                           max_imgs)).astype(int).tolist())
+        # warmup on the first batch so `frames_per_sec` measures steady-state
+        # throughput, not the one-off jit compile
+        # dtypes must match epoch_iterator's batches exactly or the warmup
+        # compiles a different program than the timed loop uses; the warmup
+        # also exercises the triptych argmax so no one-off op compiles land
+        # inside the timed window (each costs ~1-2 s over the axon tunnel)
+        wi, wl, _ = assemble_batch(self.valid_set, batches[0])
+        w_logits, _, w_cm = step(self.state, jnp.asarray(wi), jnp.asarray(wl))
+        jax.block_until_ready(jnp.argmax(w_logits[0], -1))
+        jax.block_until_ready(w_cm)
         t0 = time.perf_counter()
         for rec_num, (images, labels, idx) in enumerate(epoch_iterator(
                 self.valid_set, batches, None, seed=0, prefetch=2)):
+            if n_pad and rec_num == n_b - 1:
+                # mask the repeated tail records out of the matrix exactly
+                labels = _mask_tail_labels(labels, bs - n_pad)
             logits, lbl, cm = step(self.state, images, labels)
-            cm_total = cm if cm_total is None else cm_total + cm
+            # numpy int64 accumulation: no device add to compile mid-loop,
+            # and immune to int32 overflow on multi-billion-pixel sets
+            cm_total = (np.asarray(cm, dtype=np.int64) if cm_total is None
+                        else cm_total + np.asarray(cm, dtype=np.int64))
             if rec_num in log_at:
                 self._log_valid_image(np.asarray(images[0]),
                                       np.asarray(lbl[0]),
@@ -673,7 +731,7 @@ class Trainer:
             "miou_anatomies": float(bd.get("miou_anatomies", 0.0)),
             "miou_rare": float(bd.get("miou_rare", 0.0)),
             "pa": float(pa), "pac": float(pac),
-            "frames_per_sec": len(batches) * bs / dt,
+            "frames_per_sec": n / dt,   # real records, compile excluded
         }
         print(f"[{self.run_id}] infer: {results}")
         ckpt.write_info_json(self.run_dir, self.config, results)
