@@ -575,9 +575,50 @@ def _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref, *, n_scales,
             pscr[si * n_cls:(si + 1) * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
 
 
+def _fu_bucket_fields(pscr, lscr, hiscr, combscr, *, n_scales, n_cls, k, w,
+                      w_real, hi_n, lo_n, mask_pad):
+    """Precompute the bucket-id fields for EVERY row at once.
+
+    The per-row formulation computed e/bid/hi/comb on (1, K) vectors — a
+    (1, K) array occupies one sublane of each vreg, so every elementwise op
+    ran at 1/8 of VPU width; over 2C rows x ~8 ops x K lanes that was the
+    single largest cost in the round-3 kernels (~10 ms/step at the bench
+    shape). Computing the same fields on (C, K) blocks per scale uses all
+    sublanes; the per-row remainder in the matmul loops is just the
+    full-width (HI/2LO, K) one-hot compares and the MXU passes.
+
+    hiscr/combscr: (R, K) int32 scratch. Excluded pixels (ignore labels,
+    lane padding — forward only, `mask_pad`) get hi = comb = -1, which no
+    iota row matches: identical exclusion semantics to the row form."""
+    n_b = hi_n * lo_n
+    lbl = lscr[0:1, :]
+    valid = (lbl >= 0).astype(jnp.float32)
+    keep = lbl >= 0
+    if mask_pad and w_real != w:
+        kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        keep = keep & (kio % w < w_real)
+    cls_iota = jax.lax.broadcasted_iota(jnp.int32, (n_cls, k), 0)
+    fg = (lbl == cls_iota)                                   # (C, K)
+    fg_f = fg.astype(jnp.float32)
+    fg_i = fg.astype(jnp.int32)
+    for si in range(n_scales):
+        rows = slice(si * n_cls, (si + 1) * n_cls)
+        p = pscr[rows, :] * valid                            # (C, K)
+        e = jnp.abs(fg_f - p)
+        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
+        if mask_pad:
+            bid = jnp.where(keep, bid, -1)
+            hiscr[rows, :] = jnp.where(bid < 0, -1, bid // lo_n)
+            combscr[rows, :] = jnp.where(bid < 0, -1,
+                                         bid % lo_n + lo_n * fg_i)
+        else:
+            hiscr[rows, :] = bid // lo_n
+            combscr[rows, :] = bid % lo_n + lo_n * fg_i
+
+
 def _fu_fwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
-                   u1scr, pscr, sscr, lscr, *, n_scales, n_cls, bh, w,
-                   w_real, hi_n, lo_n, ws_pad):
+                   u1scr, pscr, sscr, lscr, hiscr, combscr,
+                   *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad):
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -590,16 +631,84 @@ def _fu_fwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
     _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref,
                     n_scales=n_scales, n_cls=n_cls, bh=bh, w=w,
                     ws_pad=ws_pad)
-    if n_scales == 2:
-        _twoscale_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
-                            w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+    k = bh * w
+    _fu_bucket_fields(pscr, lscr, hiscr, combscr, n_scales=n_scales,
+                      n_cls=n_cls, k=k, w=w, w_real=w_real, hi_n=hi_n,
+                      lo_n=lo_n, mask_pad=True)
+    _fu_hist_accumulate(hiscr, combscr, out_ref, n_rows=n_scales * n_cls,
+                        n_cls=n_cls, k=k, hi_n=hi_n, lo_n=lo_n,
+                        pack_scales=(n_scales == 2))
+
+
+def _fu_hist_accumulate(hiscr, combscr, out_ref, *, n_rows, n_cls, k,
+                        hi_n, lo_n, pack_scales):
+    """Histogram one-hot matmuls from the precomputed bucket fields, with
+    the same MXU pass packing as the v3 kernels (see _nchw_fwd_kernel):
+    two-scale packs a class's two scales per 128-wide pass (and quad-packs
+    two classes at hi_n <= 32); single-scale pairs/quads classes."""
+    cols = 2 * lo_n
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (cols, k), 0)
+
+    def one_hots(r):
+        a2 = (hiscr[pl.ds(r, 1), :] == iota_h).astype(jnp.int8)
+        b2t = (combscr[pl.ds(r, 1), :] == iota_c).astype(jnp.int8)
+        return a2, b2t
+
+    def accumulate(row_ids):
+        """One MXU pass covering len(row_ids) (row, col) diagonal blocks."""
+        parts = [one_hots(r) for r in row_ids]
+        a = parts[0][0] if len(parts) == 1 else \
+            jnp.concatenate([p[0] for p in parts], axis=0)
+        b = parts[0][1] if len(parts) == 1 else \
+            jnp.concatenate([p[1] for p in parts], axis=0)
+        acc = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        for i, r in enumerate(row_ids):
+            out_ref[pl.ds(r, 1), :, :] += \
+                acc[i * hi_n:(i + 1) * hi_n, i * cols:(i + 1) * cols][None]
+
+    n_pack = max(p for p in (4, 2, 1)
+                 if p * hi_n <= 128 and p * cols <= 128)
+    if pack_scales:
+        # rows r and r + n_cls are the two scales of class r
+        group = min(n_pack, 2)
+        quad = n_pack >= 4
+        if quad:
+            def qbody(p, _):
+                c0 = 2 * p
+                accumulate([c0, c0 + n_cls, c0 + 1, c0 + 1 + n_cls])
+                return 0
+
+            jax.lax.fori_loop(0, n_cls // 2, qbody, 0)
+            if n_cls % 2:
+                accumulate([n_cls - 1, 2 * n_cls - 1])
+        elif group == 2:
+            def pbody(c, _):
+                accumulate([c, c + n_cls])
+                return 0
+
+            jax.lax.fori_loop(0, n_cls, pbody, 0)
+        else:
+            def rbody(r, _):
+                accumulate([r])
+                return 0
+
+            jax.lax.fori_loop(0, n_rows, rbody, 0)
     else:
-        _single_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
-                          w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+        g = max(1, min(n_pack, n_rows))
+        def gbody(p, _):
+            accumulate([g * p + t for t in range(g)])
+            return 0
+
+        jax.lax.fori_loop(0, n_rows // g, gbody, 0)
+        for r in range(n_rows - n_rows % g, n_rows):
+            accumulate([r])
 
 
 def _fu_bwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref, tbl_ref,
-                   dls_ref, u1scr, pscr, dscr, sscr, lscr,
+                   dls_ref, u1scr, pscr, dscr, sscr, lscr, hiscr, combscr,
                    *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -611,9 +720,42 @@ def _fu_bwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref, tbl_ref,
     _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref,
                     n_scales=n_scales, n_cls=n_cls, bh=bh, w=w,
                     ws_pad=ws_pad)
-    _degrad_rows(pscr, dscr, lscr, tbl_ref, n_rows=n_scales * n_cls,
-                 n_cls=n_cls, bh=bh, w=w, w_real=w_real, hi_n=hi_n,
-                 lo_n=lo_n)
+    k = bh * w
+    n_rows = n_scales * n_cls
+    # full-width bucket fields (see _fu_bucket_fields; bwd keeps the row
+    # form's exact semantics: no lane-pad masking of bid — invalid pixels
+    # zero out via `valid` below)
+    _fu_bucket_fields(pscr, lscr, hiscr, combscr, n_scales=n_scales,
+                      n_cls=n_cls, k=k, w=w, w_real=w_real, hi_n=hi_n,
+                      lo_n=lo_n, mask_pad=False)
+    lbl = lscr[0:1, :]
+    valid = (lbl >= 0).astype(jnp.float32)
+    if w_real != w:
+        kio = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        valid = valid * (kio % w < w_real).astype(jnp.float32)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
+
+    def row(r, _):
+        cls = jax.lax.rem(r, n_cls)
+        oh_hi = (hiscr[pl.ds(r, 1), :] == iota_h).astype(jnp.bfloat16)
+        tbl = tbl_ref[r, :, :].astype(jnp.bfloat16)          # (2LO, HI)
+        tmp = jax.lax.dot_general(
+            tbl, oh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (2LO, K)
+        de = jnp.sum(jnp.where(combscr[pl.ds(r, 1), :] == iota_c, tmp, 0.0),
+                     axis=0, keepdims=True)                  # (1, K)
+        fg = lbl == cls
+        dscr[pl.ds(r, 1), :] = jnp.where(fg, -de, de) * valid
+        return 0
+
+    jax.lax.fori_loop(0, n_rows, row, 0)
+    for si in range(n_scales):
+        lo_r, hi_r = si * n_cls, (si + 1) * n_cls
+        pf = pscr[lo_r:hi_r, :]
+        dp = dscr[lo_r:hi_r, :]
+        s = jnp.sum(dp * pf, axis=0, keepdims=True)          # softmax VJP
+        dscr[lo_r:hi_r, :] = pf * (dp - s)
     # transposed interpolation: dscr (R, K) -> stride-8 grads. u1scr is dead
     # after the prob rebuild and is reused as the (bh, R*ws_pad) staging
     # buffer for the W-downsampled rows.
@@ -695,7 +837,9 @@ def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
         scratch_shapes=[pltpu.VMEM((bh, lanes), jnp.float32),
                         pltpu.VMEM((r_rows, bh * w_pad), jnp.float32),
                         pltpu.VMEM((n_cls, bh, w_pad), jnp.float32),
-                        pltpu.VMEM((1, bh * w_pad), jnp.int32)],
+                        pltpu.VMEM((1, bh * w_pad), jnp.int32),
+                        pltpu.VMEM((r_rows, bh * w_pad), jnp.int32),
+                        pltpu.VMEM((r_rows, bh * w_pad), jnp.int32)],
         interpret=_use_interpret(),
         compiler_params=_cparams(),
     )(labels, ls2d, mhT, mw)
@@ -739,7 +883,9 @@ def _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, n_scales: int, n_cls: int,
                         pltpu.VMEM((r_rows, bh * w_pad), jnp.float32),
                         pltpu.VMEM((r_rows, bh * w_pad), jnp.float32),
                         pltpu.VMEM((n_cls, bh, w_pad), jnp.float32),
-                        pltpu.VMEM((1, bh * w_pad), jnp.int32)],
+                        pltpu.VMEM((1, bh * w_pad), jnp.int32),
+                        pltpu.VMEM((r_rows, bh * w_pad), jnp.int32),
+                        pltpu.VMEM((r_rows, bh * w_pad), jnp.int32)],
         interpret=_use_interpret(),
         compiler_params=_cparams(),
     )(labels, ls2d, mhT, mw, mwT, tbl)
