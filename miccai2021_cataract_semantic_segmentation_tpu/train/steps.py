@@ -124,8 +124,13 @@ def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
 
         in_specs = (jax.tree.map(lambda _: P(data_axis), outputs),
                     P(data_axis), P())
+        # check_vma=False: the fused bucket-Lovász path runs pallas_call
+        # inside this shard_map, and pallas outputs carry no varying-mesh-
+        # axes annotation — with the default check_vma=True jax rejects the
+        # composition outright (found by the flagship multi-chip dryrun).
         return shard_map(local, mesh=mesh, in_specs=in_specs,
-                         out_specs=(P(), P()))(outputs, lbl, epoch)
+                         out_specs=(P(), P()),
+                         check_vma=False)(outputs, lbl, epoch)
 
     return apply
 
