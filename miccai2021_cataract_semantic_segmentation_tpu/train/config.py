@@ -20,7 +20,9 @@ DEFAULT_CONFIG_FLAT = {
     "tta": False,
     "device": 0,
     "log_every_n_steps": 50,
-    "valid_batch_size": 1,
+    # None = auto: 8 on TPU backends (batched eval is metric-exact, see
+    # Trainer.validate), 1 elsewhere (the reference's default loop)
+    "valid_batch_size": None,
     "precision": "bf16",   # TPU-first default; set "f32" for strict parity
 }
 

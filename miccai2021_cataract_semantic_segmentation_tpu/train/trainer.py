@@ -124,8 +124,8 @@ class Trainer:
         # metric-exact at any bs (tail padding + masking, see validate()),
         # so default to 8 on TPU backends; explicit configs still win.
         default_vbs = 8 if jax.default_backend() in ("tpu", "axon") else 1
-        self.valid_batch_size = int(config.get("valid_batch_size",
-                                               default_vbs))
+        vbs_cfg = config.get("valid_batch_size")
+        self.valid_batch_size = int(vbs_cfg) if vbs_cfg else default_vbs
         if self.semi:
             assert self.batch_size % 2 == 0, \
                 "semi-supervised mode splits each batch half/half " \
