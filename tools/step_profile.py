@@ -59,19 +59,14 @@ def main():
             state, m = step(state, images, labels, key, 0)
         jax.block_until_ready(m["loss"])
 
-    paths = glob.glob(f"{tmpdir}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", paths, file=sys.stderr)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rd
-    for tool in ("framework_op_stats", "op_profile", "overview_page"):
-        try:
-            data, _ctype = rd.xspace_to_tool_data(paths, tool, {})
-            out = f"{tmpdir}/{tool}.out"
-            mode = "wb" if isinstance(data, bytes) else "w"
-            with open(out, mode) as f:
-                f.write(data)
-            print(f"tool {tool}: wrote {out} ({len(data)} bytes)")
-        except Exception as e:  # noqa: BLE001
-            print(f"tool {tool}: FAILED {type(e).__name__}: {e}")
+    # parse the xplane protobuf directly (the tensorboard-plugin converter
+    # is broken in this image — PERF.md section 2)
+    from tools.eval_profile import parse_xplane
+    for name, total, span, rows, n_ev in parse_xplane(tmpdir, top=60):
+        print(f"== plane {name}: op-total {total / args.steps:.2f} ms/step, "
+              f"span {span / args.steps:.2f} ms/step (over {args.steps} steps)")
+        for op, ms in rows:
+            print(f"  {ms / args.steps:8.3f} ms  x{n_ev[op]:<4d} {op}")
 
 
 if __name__ == "__main__":
