@@ -57,7 +57,8 @@ def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels):
         classes_to_consider=cfg.get("classes_to_consider", "present"),
         classes_to_ignore=cfg.get("classes_to_ignore"),
         n_buckets=int(cfg.get("lovasz_buckets", 2048)),
-        align_corners=ac)
+        align_corners=ac,
+        edges=cfg.get("lovasz_edges", "uniform"))
 
 
 def _single_loss(name: str, cfg: dict, task: int):
@@ -128,7 +129,8 @@ def build_two_scale(cfg: dict, task: int):
                 return fused_two_scale_bucket_lovasz_s8(
                     interm_s8, final_s8, labels, w_interm, w_final,
                     classes_to_ignore=ign,
-                    n_buckets=int(cfg.get("lovasz_buckets", 2048)))
+                    n_buckets=int(cfg.get("lovasz_buckets", 2048)),
+                    edges=cfg.get("lovasz_edges", "uniform"))
             h, w = labels.shape[-2:]
             if interm_logits.shape[1:3] != (h, w):
                 interm_logits = resize_bilinear(interm_logits, (h, w),

@@ -59,6 +59,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from miccai2021_cataract_semantic_segmentation_tpu.losses.bucket_edges import (
+    bucket_midpoints_np, make_bid_fn)
 from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import _interp_matrix
 
 def _use_interpret() -> bool:
@@ -165,7 +167,7 @@ def _softmax_rows(x):
 
 
 def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
-                     *, n_cls, bh, w, w_real, hi_n, lo_n):
+                     *, n_cls, bh, w, w_real, hi_n, lo_n, edges):
     """pscr: (2C, K) f32 scratch holding both scales' flattened probs, so the
     per-class work is ONE fori_loop body (compile-time critical: a 34-way
     Python unroll of the one-hot+matmul body takes Mosaic >10 min).
@@ -199,11 +201,11 @@ def _nchw_fwd_kernel(lbl_ref, li_ref, lf_ref, out_ref, pscr, sscr, lscr,
     for j in range(bh):
         pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
     _twoscale_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
-                        w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+                        w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges)
 
 
 def _twoscale_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
-                        hi_n, lo_n):
+                        hi_n, lo_n, edges="uniform"):
     """Histogram accumulation from staged (2C, K) probs + (1, K) labels —
     shared by the v3 (pre-upsampled grids) and v4 (in-kernel upsample)
     forward kernels. See _nchw_fwd_kernel for the packing layouts."""
@@ -222,12 +224,12 @@ def _twoscale_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
         keep = keep & (kio % w < w_real)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
+    bid_of = make_bid_fn(n_b, edges)
 
     def one_hots(r, fg, fg_i):
         prow = pscr[pl.ds(r, 1), :] * valid              # (1, K)
         e = jnp.abs(fg.astype(jnp.float32) - prow)
-        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
-        bid = jnp.where(keep, bid, -1)
+        bid = jnp.where(keep, bid_of(e), -1)
         hi = jnp.where(bid < 0, -1, bid // lo_n)
         comb = jnp.where(bid < 0, -1, bid % lo_n + lo_n * fg_i)
         a2 = (hi == iota_h).astype(jnp.int8)             # (HI, K)
@@ -303,7 +305,7 @@ def _twoscale_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
 
 
 def _degrad_rows(pscr, dscr, lscr, tbl_ref, *, n_rows, n_cls, bh, w, w_real,
-                 hi_n, lo_n):
+                 hi_n, lo_n, edges="uniform"):
     """Fill dscr rows with dL/dp from staged probs + the VJP bucket tables,
     including the softmax VJP per scale — shared by the v3 and v4 backward
     kernels (two-scale: n_rows = 2C; single-scale: n_rows = C)."""
@@ -317,12 +319,14 @@ def _degrad_rows(pscr, dscr, lscr, tbl_ref, *, n_rows, n_cls, bh, w, w_real,
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
 
+    bid_of = make_bid_fn(n_b, edges)
+
     def row(r, _):
         cls = jax.lax.rem(r, n_cls)
         prow = pscr[pl.ds(r, 1), :] * valid
         fg = lbl == cls
         e = jnp.abs(fg.astype(jnp.float32) - prow)
-        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
+        bid = bid_of(e)
         hi = bid // lo_n
         comb = bid % lo_n + lo_n * fg.astype(jnp.int32)
         oh_hi = (hi == iota_h).astype(jnp.bfloat16)      # (HI, K)
@@ -348,7 +352,7 @@ def _degrad_rows(pscr, dscr, lscr, tbl_ref, *, n_rows, n_cls, bh, w, w_real,
 
 def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
                      pscr, dscr, sscr, lscr, *, n_cls, bh, w, w_real,
-                     hi_n, lo_n):
+                     hi_n, lo_n, edges):
     sscr[...] = _softmax_rows(li_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
@@ -357,7 +361,7 @@ def _nchw_bwd_kernel(lbl_ref, li_ref, lf_ref, tbl_ref, dli_ref, dlf_ref,
     for j in range(bh):
         pscr[n_cls:2 * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
     _degrad_rows(pscr, dscr, lscr, tbl_ref, n_rows=2 * n_cls, n_cls=n_cls,
-                 bh=bh, w=w, w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+                 bh=bh, w=w, w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges)
     for si, dref in ((0, dli_ref), (1, dlf_ref)):
         lo_r, hi_r = si * n_cls, (si + 1) * n_cls
         for j in range(bh):
@@ -377,23 +381,24 @@ def _bucket_split(n_buckets: int) -> tuple[int, int]:
     return hi, lo
 
 
-def _bucket_midpoints(n_buckets: int):
+def _bucket_midpoints(n_buckets: int, edges: str = "uniform"):
     """Bucket-midpoint error values for reconstructing the se sums from
-    counts: se[b] ~= n[b] * (b + 0.5)/B. The VJP's gradient tables are pure
+    counts: se[b] ~= n[b] * midpoint(b). The VJP's gradient tables are pure
     COUNT functions (see _losses_and_tables: g_fg/g_bg come from n1/n0
     cumsums only), so this approximation shifts the reported loss VALUE by
-    at most 1/(2B) per pixel while leaving dL/dlogits bit-identical to the
-    exact-se variant."""
-    return (jnp.arange(n_buckets, dtype=jnp.float32) + 0.5) / n_buckets
+    at most half a bucket width per pixel while leaving dL/dlogits
+    bit-identical to the exact-se variant. Non-uniform `edges` modes use
+    their own midpoint table (losses/bucket_edges.py)."""
+    return jnp.asarray(bucket_midpoints_np(n_buckets, edges))
 
 
 def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
-                    w_real: int, n_buckets: int):
+                    w_real: int, n_buckets: int, edges: str = "uniform"):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, c, h, w = logits_i.shape
     out = pl.pallas_call(
         functools.partial(_nchw_fwd_kernel, n_cls=n_cls, bh=bh, w=w,
-                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
@@ -416,17 +421,17 @@ def _nchw_histogram(logits_i, logits_f, labels, n_cls: int, bh: int,
     out = out.reshape(r, hi_n, 2, lo_n).astype(jnp.float32)
     n_bg = out[:, :, 0].reshape(r, n_buckets)
     n_fg = out[:, :, 1].reshape(r, n_buckets)
-    mid = _bucket_midpoints(n_buckets)
+    mid = _bucket_midpoints(n_buckets, edges)
     return jnp.stack([n_fg, n_bg, n_fg * mid, n_bg * mid], axis=-1)
 
 
 def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
-               w_real: int, n_buckets: int):
+               w_real: int, n_buckets: int, edges: str = "uniform"):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, c, h, w = logits_i.shape
     return pl.pallas_call(
         functools.partial(_nchw_bwd_kernel, n_cls=n_cls, bh=bh, w=w,
-                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
@@ -457,10 +462,10 @@ def _nchw_grad(logits_i, logits_f, labels, tbl, n_cls: int, bh: int,
     )(labels, logits_i, logits_f, tbl)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def lovasz_two_scale_nchw(logits_i, logits_f, labels, n_cls: int,
                           bhs: tuple[int, int], w_real: int,
-                          n_buckets: int = 2048):
+                          n_buckets: int = 2048, edges: str = "uniform"):
     """Two-scale bucket-Lovász core on (N, C, H, W_pad) f32 logit grids.
 
     `labels` (N, H, W_pad) i32 with ignore pixels pre-folded to -1 and pad
@@ -470,18 +475,19 @@ def lovasz_two_scale_nchw(logits_i, logits_f, labels, n_cls: int,
     [C, 2C) the final scale."""
     per_row, gts, _, _ = _losses_and_tables(
         _nchw_histogram(logits_i, logits_f, labels, n_cls, bhs[0], w_real,
-                        n_buckets))
+                        n_buckets, edges))
     return per_row, gts
 
 
-def _nchw_fwd(logits_i, logits_f, labels, n_cls, bhs, w_real, n_buckets):
+def _nchw_fwd(logits_i, logits_f, labels, n_cls, bhs, w_real, n_buckets,
+              edges):
     per_row, gts, g_fg, g_bg = _losses_and_tables(
         _nchw_histogram(logits_i, logits_f, labels, n_cls, bhs[0], w_real,
-                        n_buckets))
+                        n_buckets, edges))
     return (per_row, gts), (logits_i, logits_f, labels, g_fg, g_bg)
 
 
-def _nchw_bwd(n_cls, bhs, w_real, n_buckets, res, cts):
+def _nchw_bwd(n_cls, bhs, w_real, n_buckets, edges, res, cts):
     bh = bhs[1]
     logits_i, logits_f, labels, g_fg, g_bg = res
     hi_n, lo_n = _bucket_split(n_buckets)
@@ -491,7 +497,7 @@ def _nchw_bwd(n_cls, bhs, w_real, n_buckets, res, cts):
     gb = (g_bg * ct[:, None]).reshape(r, hi_n, lo_n)
     tbl = jnp.concatenate([gb, gf], axis=-1).transpose(0, 2, 1)  # (R, 2LO, HI)
     dli, dlf = _nchw_grad(logits_i, logits_f, labels, tbl, n_cls, bh, w_real,
-                          n_buckets)
+                          n_buckets, edges)
     return dli, dlf, None
 
 
@@ -576,7 +582,7 @@ def _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref, *, n_scales,
 
 
 def _fu_bucket_fields(pscr, lscr, hiscr, combscr, *, n_scales, n_cls, k, w,
-                      w_real, hi_n, lo_n, mask_pad):
+                      w_real, hi_n, lo_n, mask_pad, edges="uniform"):
     """Precompute the bucket-id fields for EVERY row at once.
 
     The per-row formulation computed e/bid/hi/comb on (1, K) vectors — a
@@ -601,11 +607,12 @@ def _fu_bucket_fields(pscr, lscr, hiscr, combscr, *, n_scales, n_cls, k, w,
     fg = (lbl == cls_iota)                                   # (C, K)
     fg_f = fg.astype(jnp.float32)
     fg_i = fg.astype(jnp.int32)
+    bid_of = make_bid_fn(n_b, edges)
     for si in range(n_scales):
         rows = slice(si * n_cls, (si + 1) * n_cls)
         p = pscr[rows, :] * valid                            # (C, K)
         e = jnp.abs(fg_f - p)
-        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
+        bid = bid_of(e)
         if mask_pad:
             bid = jnp.where(keep, bid, -1)
             hiscr[rows, :] = jnp.where(bid < 0, -1, bid // lo_n)
@@ -618,7 +625,8 @@ def _fu_bucket_fields(pscr, lscr, hiscr, combscr, *, n_scales, n_cls, k, w,
 
 def _fu_fwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
                    u1scr, pscr, sscr, lscr, hiscr, combscr,
-                   *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad):
+                   *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad,
+                   edges):
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -634,7 +642,7 @@ def _fu_fwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
     k = bh * w
     _fu_bucket_fields(pscr, lscr, hiscr, combscr, n_scales=n_scales,
                       n_cls=n_cls, k=k, w=w, w_real=w_real, hi_n=hi_n,
-                      lo_n=lo_n, mask_pad=True)
+                      lo_n=lo_n, mask_pad=True, edges=edges)
     _fu_hist_accumulate(hiscr, combscr, out_ref, n_rows=n_scales * n_cls,
                         n_cls=n_cls, k=k, hi_n=hi_n, lo_n=lo_n,
                         pack_scales=(n_scales == 2))
@@ -709,7 +717,8 @@ def _fu_hist_accumulate(hiscr, combscr, out_ref, *, n_rows, n_cls, k,
 
 def _fu_bwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref, tbl_ref,
                    dls_ref, u1scr, pscr, dscr, sscr, lscr, hiscr, combscr,
-                   *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad):
+                   *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad,
+                   edges):
     @pl.when(pl.program_id(1) == 0)
     def _():
         dls_ref[...] = jnp.zeros_like(dls_ref)
@@ -727,7 +736,7 @@ def _fu_bwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref, tbl_ref,
     # zero out via `valid` below)
     _fu_bucket_fields(pscr, lscr, hiscr, combscr, n_scales=n_scales,
                       n_cls=n_cls, k=k, w=w, w_real=w_real, hi_n=hi_n,
-                      lo_n=lo_n, mask_pad=False)
+                      lo_n=lo_n, mask_pad=False, edges=edges)
     lbl = lscr[0:1, :]
     valid = (lbl >= 0).astype(jnp.float32)
     if w_real != w:
@@ -809,7 +818,7 @@ def _fu_mats(hs, ws, hs_pad, ws_pad, out_hw, h_pad, w_pad, align):
 
 
 def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
-                  w_real: int, n_buckets: int):
+                  w_real: int, n_buckets: int, edges: str = "uniform"):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, hs_pad, lanes = ls2d.shape
     r_rows = n_scales * n_cls
@@ -818,7 +827,7 @@ def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
     out = pl.pallas_call(
         functools.partial(_fu_fwd_kernel, n_scales=n_scales, n_cls=n_cls,
                           bh=bh, w=w_pad, w_real=w_real, hi_n=hi_n,
-                          lo_n=lo_n, ws_pad=ws_pad),
+                          lo_n=lo_n, ws_pad=ws_pad, edges=edges),
         grid=(n, h_pad // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w_pad), lambda i, j: (i, j, 0),
@@ -846,12 +855,12 @@ def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
     out = out.reshape(r_rows, hi_n, 2, lo_n).astype(jnp.float32)
     n_bg = out[:, :, 0].reshape(r_rows, n_buckets)
     n_fg = out[:, :, 1].reshape(r_rows, n_buckets)
-    mid = _bucket_midpoints(n_buckets)
+    mid = _bucket_midpoints(n_buckets, edges)
     return jnp.stack([n_fg, n_bg, n_fg * mid, n_bg * mid], axis=-1)
 
 
 def _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, n_scales: int, n_cls: int,
-             bh: int, w_real: int, n_buckets: int):
+             bh: int, w_real: int, n_buckets: int, edges: str = "uniform"):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, hs_pad, lanes = ls2d.shape
     r_rows = n_scales * n_cls
@@ -860,7 +869,7 @@ def _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, n_scales: int, n_cls: int,
     return pl.pallas_call(
         functools.partial(_fu_bwd_kernel, n_scales=n_scales, n_cls=n_cls,
                           bh=bh, w=w_pad, w_real=w_real, hi_n=hi_n,
-                          lo_n=lo_n, ws_pad=ws_pad),
+                          lo_n=lo_n, ws_pad=ws_pad, edges=edges),
         grid=(n, h_pad // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w_pad), lambda i, j: (i, j, 0),
@@ -891,7 +900,8 @@ def _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, n_scales: int, n_cls: int,
     )(labels, ls2d, mhT, mw, mwT, tbl)
 
 
-def _fu_core_fwd(parts, labels, n_cls, bh, out_hw, n_buckets, align):
+def _fu_core_fwd(parts, labels, n_cls, bh, out_hw, n_buckets, align,
+                 edges="uniform"):
     n, hs, ws, _ = parts[0].shape
     hs_pad = -(-hs // 8) * 8
     ws_pad = -(-ws // 128) * 128
@@ -899,11 +909,11 @@ def _fu_core_fwd(parts, labels, n_cls, bh, out_hw, n_buckets, align):
     mhT, mw, _ = _fu_mats(hs, ws, hs_pad, ws_pad, out_hw, h_pad, w_pad, align)
     ls2d = _fu_prep(parts, hs_pad, ws_pad)
     return _fu_histogram(ls2d, labels, mhT, mw, len(parts), n_cls, bh,
-                         out_hw[1], n_buckets)
+                         out_hw[1], n_buckets, edges)
 
 
 def _fu_core_bwd(parts, labels, g_fg, g_bg, ct, n_cls, bh, out_hw,
-                 n_buckets, align):
+                 n_buckets, align, edges="uniform"):
     """Shared VJP tail: build the bucket-gradient tables, run the grad
     kernel, unpack the packed stride-8 layout back to per-scale NHWC."""
     n, hs, ws, c = parts[0].shape
@@ -919,17 +929,17 @@ def _fu_core_bwd(parts, labels, g_fg, g_bg, ct, n_cls, bh, out_hw,
                             align)
     ls2d = _fu_prep(parts, hs_pad, ws_pad)
     dls = _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, len(parts), n_cls, bh,
-                   out_hw[1], n_buckets)
+                   out_hw[1], n_buckets, edges)
     d = dls.reshape(n, hs_pad, r_rows, ws_pad)[:, :hs, :, :ws]
     d = d.transpose(0, 1, 3, 2)                          # (N, hs, ws, R)
     return [d[..., i * c:(i + 1) * c].astype(p.dtype)
             for i, p in enumerate(parts)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def lovasz_two_scale_s8(li_s8, lf_s8, labels, n_cls: int,
                         bhs: tuple[int, int], out_hw: tuple[int, int],
-                        n_buckets: int = 2048):
+                        n_buckets: int = 2048, edges: str = "uniform"):
     """Two-scale bucket-Lovász straight from stride-8 NHWC logits with the
     align_corners=True bilinear upsample fused into the kernels (v4).
 
@@ -938,50 +948,51 @@ def lovasz_two_scale_s8(li_s8, lf_s8, labels, n_cls: int,
     (per_row (2C,), gts (2C,)): rows [0, C) interm scale, [C, 2C) final."""
     per_row, gts, _, _ = _losses_and_tables(
         _fu_core_fwd([li_s8, lf_s8], labels, n_cls, bhs[0], out_hw,
-                     n_buckets, True))
+                     n_buckets, True, edges))
     return per_row, gts
 
 
-def _fu2_fwd(li_s8, lf_s8, labels, n_cls, bhs, out_hw, n_buckets):
+def _fu2_fwd(li_s8, lf_s8, labels, n_cls, bhs, out_hw, n_buckets, edges):
     per_row, gts, g_fg, g_bg = _losses_and_tables(
         _fu_core_fwd([li_s8, lf_s8], labels, n_cls, bhs[0], out_hw,
-                     n_buckets, True))
+                     n_buckets, True, edges))
     return (per_row, gts), (li_s8, lf_s8, labels, g_fg, g_bg)
 
 
-def _fu2_bwd(n_cls, bhs, out_hw, n_buckets, res, cts):
+def _fu2_bwd(n_cls, bhs, out_hw, n_buckets, edges, res, cts):
     li_s8, lf_s8, labels, g_fg, g_bg = res
     dli, dlf = _fu_core_bwd([li_s8, lf_s8], labels, g_fg, g_bg, cts[0],
-                            n_cls, bhs[1], out_hw, n_buckets, True)
+                            n_cls, bhs[1], out_hw, n_buckets, True, edges)
     return dli, dlf, None
 
 
 lovasz_two_scale_s8.defvjp(_fu2_fwd, _fu2_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def lovasz_single_s8(lg_s8, labels, n_cls: int, bhs: tuple[int, int],
                      out_hw: tuple[int, int], n_buckets: int,
-                     align_corners: bool):
+                     align_corners: bool, edges: str = "uniform"):
     """Single-scale bucket-Lovász from stride-8 NHWC logits with the model's
     final bilinear upsample fused into the kernels (v4)."""
     per_class, gts, _, _ = _losses_and_tables(
         _fu_core_fwd([lg_s8], labels, n_cls, bhs[0], out_hw, n_buckets,
-                     align_corners))
+                     align_corners, edges))
     return per_class, gts
 
 
-def _fu1_fwd(lg_s8, labels, n_cls, bhs, out_hw, n_buckets, align_corners):
+def _fu1_fwd(lg_s8, labels, n_cls, bhs, out_hw, n_buckets, align_corners,
+             edges):
     per_class, gts, g_fg, g_bg = _losses_and_tables(
         _fu_core_fwd([lg_s8], labels, n_cls, bhs[0], out_hw, n_buckets,
-                     align_corners))
+                     align_corners, edges))
     return (per_class, gts), (lg_s8, labels, g_fg, g_bg)
 
 
-def _fu1_bwd(n_cls, bhs, out_hw, n_buckets, align_corners, res, cts):
+def _fu1_bwd(n_cls, bhs, out_hw, n_buckets, align_corners, edges, res, cts):
     lg_s8, labels, g_fg, g_bg = res
     (dlg,) = _fu_core_bwd([lg_s8], labels, g_fg, g_bg, cts[0], n_cls,
-                          bhs[1], out_hw, n_buckets, align_corners)
+                          bhs[1], out_hw, n_buckets, align_corners, edges)
     return dlg, None
 
 
@@ -995,11 +1006,15 @@ lovasz_single_s8.defvjp(_fu1_fwd, _fu1_bwd)
 def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
                                      labels, w_interm: float, w_final: float,
                                      classes_to_ignore: int | None = None,
-                                     n_buckets: int = 2048):
+                                     n_buckets: int = 2048,
+                                     edges: str = "uniform"):
     """TwoScaleLoss(Lovász, Lovász) evaluated at full label resolution from
     stride-8 logits, with the align_corners=True upsample fused into the
     transposed-layout pipeline (reference: models/OCR.py:128-138 upsamples
-    both logit sets with align_corners=True before TwoScaleLoss)."""
+    both logit sets with align_corners=True before TwoScaleLoss).
+
+    `edges`: bucket-edge mode, "uniform" or "adaptive" (two-sided log edges,
+    losses/bucket_edges.py) — same kernel cost, different quantisation."""
     n, h, w = labels.shape
     c = final_logits_s8.shape[-1]
     lbl = labels.astype(jnp.int32)
@@ -1013,7 +1028,8 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
     if not _USE_V3:
         bhs = (_pick_bh(h_pad, _FU_FWD_BH_CAP), _pick_bh(h_pad, _FU_BWD_BH_CAP))
         per_row, gts = lovasz_two_scale_s8(interm_logits_s8, final_logits_s8,
-                                           lbl, c, bhs, (h, w), n_buckets)
+                                           lbl, c, bhs, (h, w), n_buckets,
+                                           edges)
     else:
         bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD_BH_CAP))
         li = upsample_nchw(interm_logits_s8, (h, w), w_pad=w_pad,
@@ -1021,7 +1037,7 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
         lf = upsample_nchw(final_logits_s8, (h, w), w_pad=w_pad,
                            h_pad=h_pad).astype(jnp.float32)
         per_row, gts = lovasz_two_scale_nchw(li, lf, lbl, c, bhs, w,
-                                             n_buckets)
+                                             n_buckets, edges)
     present = (gts > 0).astype(jnp.float32)
     pr_i, pr_f = present[:c], present[c:]
     loss_i = jnp.sum(per_row[:c] * pr_i) / jnp.maximum(jnp.sum(pr_i), 1.0)
@@ -1037,7 +1053,7 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
 # ---------------------------------------------------------------------------
 
 def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
-                      *, n_cls, bh, w, w_real, hi_n, lo_n):
+                      *, n_cls, bh, w, w_real, hi_n, lo_n, edges):
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -1049,11 +1065,11 @@ def _nchw1_fwd_kernel(lbl_ref, lg_ref, out_ref, pscr, sscr, lscr,
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
         lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
     _single_hist_body(pscr, lscr, out_ref, n_cls=n_cls, bh=bh, w=w,
-                      w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+                      w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges)
 
 
 def _single_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
-                      hi_n, lo_n):
+                      hi_n, lo_n, edges="uniform"):
     """Single-scale histogram accumulation from staged probs — shared by
     the v3 and v4 forward kernels (class-paired MXU packing)."""
     k = bh * w
@@ -1070,13 +1086,13 @@ def _single_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
         keep = keep & (kio % w < w_real)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi_n, k), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * lo_n, k), 0)
+    bid_of = make_bid_fn(n_b, edges)
 
     def one_hots(r):
         prow = pscr[pl.ds(r, 1), :] * valid
         fg = lbl == r
         e = jnp.abs(fg.astype(jnp.float32) - prow)
-        bid = jnp.minimum((e * n_b).astype(jnp.int32), n_b - 1)
-        bid = jnp.where(keep, bid, -1)
+        bid = jnp.where(keep, bid_of(e), -1)
         hi = jnp.where(bid < 0, -1, bid // lo_n)
         comb = jnp.where(bid < 0, -1,
                          bid % lo_n + lo_n * fg.astype(jnp.int32))
@@ -1144,23 +1160,24 @@ def _single_hist_body(pscr, lscr, out_ref, *, n_cls, bh, w, w_real,
 
 
 def _nchw1_bwd_kernel(lbl_ref, lg_ref, tbl_ref, dlg_ref, pscr, dscr, sscr,
-                      lscr, *, n_cls, bh, w, w_real, hi_n, lo_n):
+                      lscr, *, n_cls, bh, w, w_real, hi_n, lo_n, edges):
     sscr[...] = _softmax_rows(lg_ref[0].astype(jnp.float32))
     for j in range(bh):
         pscr[0:n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
         lscr[0:1, pl.ds(j * w, w)] = lbl_ref[0, j, :][None]
     _degrad_rows(pscr, dscr, lscr, tbl_ref, n_rows=n_cls, n_cls=n_cls,
-                 bh=bh, w=w, w_real=w_real, hi_n=hi_n, lo_n=lo_n)
+                 bh=bh, w=w, w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges)
     for j in range(bh):
         dlg_ref[0, :, j, :] = dscr[0:n_cls, pl.ds(j * w, w)]
 
 
-def _nchw1_histogram(logits, labels, bh: int, w_real: int, n_buckets: int):
+def _nchw1_histogram(logits, labels, bh: int, w_real: int, n_buckets: int,
+                     edges: str = "uniform"):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, c, h, w = logits.shape
     out = pl.pallas_call(
         functools.partial(_nchw1_fwd_kernel, n_cls=c, bh=bh, w=w,
-                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
@@ -1180,16 +1197,17 @@ def _nchw1_histogram(logits, labels, bh: int, w_real: int, n_buckets: int):
     out = out.reshape(c, hi_n, 2, lo_n).astype(jnp.float32)
     n_bg = out[:, :, 0].reshape(c, n_buckets)
     n_fg = out[:, :, 1].reshape(c, n_buckets)
-    mid = _bucket_midpoints(n_buckets)
+    mid = _bucket_midpoints(n_buckets, edges)
     return jnp.stack([n_fg, n_bg, n_fg * mid, n_bg * mid], axis=-1)
 
 
-def _nchw1_grad(logits, labels, tbl, bh: int, w_real: int, n_buckets: int):
+def _nchw1_grad(logits, labels, tbl, bh: int, w_real: int, n_buckets: int,
+                edges: str = "uniform"):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, c, h, w = logits.shape
     return pl.pallas_call(
         functools.partial(_nchw1_bwd_kernel, n_cls=c, bh=bh, w=w,
-                          w_real=w_real, hi_n=hi_n, lo_n=lo_n),
+                          w_real=w_real, hi_n=hi_n, lo_n=lo_n, edges=edges),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, bh, w), lambda i, j: (i, j, 0),
@@ -1211,24 +1229,24 @@ def _nchw1_grad(logits, labels, tbl, bh: int, w_real: int, n_buckets: int):
     )(labels, logits, tbl)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def lovasz_single_nchw(logits, labels, bhs: tuple[int, int], w_real: int,
-                       n_buckets: int = 2048):
+                       n_buckets: int = 2048, edges: str = "uniform"):
     """Single-scale bucket-Lovász core on an (N, C, H, W_pad) f32 logit grid.
     `bhs` = (forward, backward) block heights. Returns (per_class (C,),
     gts (C,))."""
     per_class, gts, _, _ = _losses_and_tables(
-        _nchw1_histogram(logits, labels, bhs[0], w_real, n_buckets))
+        _nchw1_histogram(logits, labels, bhs[0], w_real, n_buckets, edges))
     return per_class, gts
 
 
-def _nchw1_fwd(logits, labels, bhs, w_real, n_buckets):
+def _nchw1_fwd(logits, labels, bhs, w_real, n_buckets, edges):
     per_class, gts, g_fg, g_bg = _losses_and_tables(
-        _nchw1_histogram(logits, labels, bhs[0], w_real, n_buckets))
+        _nchw1_histogram(logits, labels, bhs[0], w_real, n_buckets, edges))
     return (per_class, gts), (logits, labels, g_fg, g_bg)
 
 
-def _nchw1_bwd(bhs, w_real, n_buckets, res, cts):
+def _nchw1_bwd(bhs, w_real, n_buckets, edges, res, cts):
     bh = bhs[1]
     logits, labels, g_fg, g_bg = res
     hi_n, lo_n = _bucket_split(n_buckets)
@@ -1237,7 +1255,7 @@ def _nchw1_bwd(bhs, w_real, n_buckets, res, cts):
     gf = (g_fg * ct[:, None]).reshape(c, hi_n, lo_n)
     gb = (g_bg * ct[:, None]).reshape(c, hi_n, lo_n)
     tbl = jnp.concatenate([gb, gf], axis=-1).transpose(0, 2, 1)
-    dlg = _nchw1_grad(logits, labels, tbl, bh, w_real, n_buckets)
+    dlg = _nchw1_grad(logits, labels, tbl, bh, w_real, n_buckets, edges)
     return dlg, None
 
 
@@ -1247,7 +1265,8 @@ lovasz_single_nchw.defvjp(_nchw1_fwd, _nchw1_bwd)
 def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
                            classes_to_ignore: int | None = None,
                            n_buckets: int = 2048,
-                           align_corners: bool = True):
+                           align_corners: bool = True,
+                           edges: str = "uniform"):
     """Single-scale bucket Lovász-Softmax from pre-upsample logits, with
     the model's final bilinear upsample fused into the NCHW pipeline.
 
@@ -1269,12 +1288,12 @@ def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
     if not _USE_V3:
         bhs = (_pick_bh(h_pad, _FU_FWD_BH_CAP), _pick_bh(h_pad, _FU_BWD_BH_CAP))
         per_class, gts = lovasz_single_s8(logits_s8, lbl, c, bhs, (h, w),
-                                          n_buckets, align_corners)
+                                          n_buckets, align_corners, edges)
     else:
         bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD1_BH_CAP))
         lg = upsample_nchw(logits_s8, (h, w), align_corners=align_corners,
                            w_pad=w_pad, h_pad=h_pad).astype(jnp.float32)
-        per_class, gts = lovasz_single_nchw(lg, lbl, bhs, w, n_buckets)
+        per_class, gts = lovasz_single_nchw(lg, lbl, bhs, w, n_buckets, edges)
     if classes_to_consider in (None, "present", "all"):
         class_mask = jnp.ones(c)
     else:

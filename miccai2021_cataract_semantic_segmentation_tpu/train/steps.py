@@ -102,7 +102,8 @@ def _point_loss(outputs, labels, task: int, ignore_override: int | None = None):
                          ignore_index=ign)
 
 
-def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
+def _sharded_loss(loss_fn: Callable, mesh, data_axis: str,
+                  check_vma: bool = True):
     """Per-data-shard loss via shard_map: each device computes loss_fn over
     its LOCAL batch shard and the scalars are pmean'd over the axis.
 
@@ -111,6 +112,13 @@ def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
     batch-flattened Lovász sort would otherwise make GSPMD all-gather the
     full logits across chips (~285 MB/chip at 544x960x17 bs8) and run a
     global sort — per-shard sorting keeps all data local to each chip.
+
+    check_vma=False is needed ONLY for the fused bucket-Lovász path: its
+    pallas_call outputs carry no varying-mesh-axes annotation, and with the
+    default check_vma=True jax rejects the composition outright (found by
+    the flagship multi-chip dryrun). Every other loss keeps the default
+    check so a missing pmean fails loudly instead of silently producing
+    shard-inconsistent results (ADVICE r4).
     """
     from jax.sharding import PartitionSpec as P
     shard_map = jax.shard_map
@@ -124,13 +132,9 @@ def _sharded_loss(loss_fn: Callable, mesh, data_axis: str):
 
         in_specs = (jax.tree.map(lambda _: P(data_axis), outputs),
                     P(data_axis), P())
-        # check_vma=False: the fused bucket-Lovász path runs pallas_call
-        # inside this shard_map, and pallas outputs carry no varying-mesh-
-        # axes annotation — with the default check_vma=True jax rejects the
-        # composition outright (found by the flagship multi-chip dryrun).
         return shard_map(local, mesh=mesh, in_specs=in_specs,
                          out_specs=(P(), P()),
-                         check_vma=False)(outputs, lbl, epoch)
+                         check_vma=check_vma)(outputs, lbl, epoch)
 
     return apply
 
@@ -139,13 +143,16 @@ def make_train_step(loss_fn: Callable, spec, task: int,
                     has_point_head: bool = False, donate: bool = True,
                     mesh=None, data_axis: str = "data",
                     train_metrics: str = "full", debug_pred: bool = False,
-                    semi: dict | None = None):
+                    semi: dict | None = None,
+                    sharded_loss_check_vma: bool = True):
     """Build the jitted train step.
 
     loss_fn: (outputs dict, labels, epoch) -> (total, terms) from
     losses.build_loss. `spec` is the DeviceAugmentSpec (static). When `mesh`
     is given, the loss runs per data shard under shard_map (see
     _sharded_loss); the model fwd/bwd stays GSPMD-partitioned.
+    `sharded_loss_check_vma`: set False only when the loss routes through
+    the fused bucket-Lovász pallas kernels (see _sharded_loss).
 
     train_metrics: "full" computes the per-step train confusion matrix from
     the full-resolution logits (reference behaviour). "s8" computes it from
@@ -165,7 +172,9 @@ def make_train_step(loss_fn: Callable, spec, task: int,
     torch_utils.py:7-21), with below-threshold pixels set to `ignore_id`.
     stop_gradient keeps the teacher pass out of the backward graph.
     """
-    compute_loss = (_sharded_loss(loss_fn, mesh, data_axis) if mesh is not None
+    compute_loss = (_sharded_loss(loss_fn, mesh, data_axis,
+                                  check_vma=sharded_loss_check_vma)
+                    if mesh is not None
                     else (lambda outputs, lbl, epoch:
                           loss_fn(outputs, lbl, epoch=epoch)))
 

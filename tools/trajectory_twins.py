@@ -54,7 +54,8 @@ def make_learnable_frames(rng: np.random.Generator, n: int, h: int, w: int,
 
 def run_twin(impl: str, batches, *, backbone: str, h: int, w: int,
              n_steps: int, n_buckets: int, task: int = 2, lr: float = 1e-4,
-             pad: bool = True, record_every: int = 1):
+             pad: bool = True, record_every: int = 1,
+             edges: str = "uniform"):
     """One training run; returns (losses np.ndarray, final params pytree)."""
     import jax
     import jax.numpy as jnp
@@ -76,6 +77,7 @@ def run_twin(impl: str, batches, *, backbone: str, h: int, w: int,
         "name": "TwoScaleLoss",
         "lovasz_impl": impl,
         "lovasz_buckets": n_buckets,
+        "lovasz_edges": edges,
         "interm": {"name": "LovaszSoftmax", "weight": 0.4},
         "final": {"name": "LovaszSoftmax", "weight": 1.0},
     }, task)
@@ -100,7 +102,8 @@ def run_twin(impl: str, batches, *, backbone: str, h: int, w: int,
 
 def compare_twins(*, backbone: str, h: int, w: int, bs: int, n_pool: int,
                   n_steps: int, n_buckets: int, pad: bool = True,
-                  lr: float = 1e-4, data_seed: int = 0) -> dict:
+                  lr: float = 1e-4, data_seed: int = 0,
+                  edges: str = "uniform") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +117,7 @@ def compare_twins(*, backbone: str, h: int, w: int, bs: int, n_pool: int,
         t0 = time.perf_counter()
         losses, params = run_twin(impl, batches, backbone=backbone, h=h, w=w,
                                   n_steps=n_steps, n_buckets=n_buckets,
-                                  pad=pad, lr=lr)
+                                  pad=pad, lr=lr, edges=edges)
         results[impl] = (losses, params)
         print(f"# {impl}: {n_steps} steps in {time.perf_counter() - t0:.0f}s, "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", file=sys.stderr)
@@ -130,6 +133,8 @@ def compare_twins(*, backbone: str, h: int, w: int, bs: int, n_pool: int,
     return {
         "n_steps": n_steps,
         "n_buckets": n_buckets,
+        "edges": edges,
+        "data_seed": data_seed,
         "loss_start_sort": float(l_sort[0]),
         "loss_final_sort": float(np.mean(l_sort[-tail:])),
         "loss_final_bucket": float(np.mean(l_bucket[-tail:])),
@@ -149,18 +154,24 @@ def main():
                     help="tiny shapes (test-sized) instead of the bench workload")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--buckets", type=int, default=1024)
+    ap.add_argument("--edges", type=str, default="uniform",
+                    choices=("uniform", "adaptive"))
+    ap.add_argument("--seed", type=int, default=0,
+                    help="data seed (multi-seed twins tighten the tail-mean "
+                         "sigma; VERDICT r4 weak #1)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     if args.cpu_scale:
         r = compare_twins(backbone="resnet18", h=64, w=128, bs=4, n_pool=8,
                           n_steps=args.steps or 30, n_buckets=args.buckets,
-                          pad=False, lr=1e-3)
+                          pad=False, lr=1e-3, edges=args.edges,
+                          data_seed=args.seed)
     else:
         # the bench workload: OCRNet-R50-os8, 540x960 (padded 544), bs 8
         r = compare_twins(backbone="resnet50", h=540, w=960, bs=8, n_pool=32,
                           n_steps=args.steps or 200, n_buckets=args.buckets,
-                          lr=1e-4)
+                          lr=1e-4, edges=args.edges, data_seed=args.seed)
     out = json.dumps(r)
     print(out)
     if args.out:
