@@ -30,21 +30,37 @@ from __future__ import annotations
 
 import numpy as np
 
-_OCTAVES = 16            # u-octaves spanning [2^-17, 0.5)
-_MIN_EXP = 17            # u below 2^-17 collapses into bucket 0 / B-1
-_EXP0 = 127 - _MIN_EXP   # f32 exponent field of 2^-17
+_OCTAVES = 16            # default u-octave count ("adaptive"); e_min = 2^-17
 
 
-def _adaptive_split(n_buckets: int) -> tuple[int, int]:
+def _parse_mode(edges: str) -> int:
+    """'adaptive' -> 16 octaves; 'adaptiveN' -> N octaves (power of two).
+    Fewer octaves trade dynamic range near 0/1 for finer mid-range buckets
+    (each octave gets half/N_oct sub-buckets): mid-training fg errors sit in
+    [0.05, 0.5], where the 16-octave map measured WORSE than uniform in the
+    200-step twins (PERF.md §4.2) — the octave count is the dial."""
+    if edges == "adaptive":
+        return _OCTAVES
+    if edges.startswith("adaptive"):
+        n = int(edges[len("adaptive"):])
+        if n < 1 or n & (n - 1):
+            raise ValueError(f"octave count must be a power of two: '{edges}'")
+        return n
+    raise ValueError(f"unknown edges mode '{edges}'")
+
+
+def _adaptive_split(n_buckets: int, octaves: int) -> tuple[int, int]:
     """(half, j): half buckets per side, 2^j sub-buckets per octave."""
     half = n_buckets // 2
-    if half < _OCTAVES or 2 * half != n_buckets:
+    if half < octaves or 2 * half != n_buckets:
         raise ValueError(
-            f"adaptive edges need n_buckets = 32 * 2^k >= 32, got {n_buckets}")
-    j = int(round(np.log2(half / _OCTAVES)))
-    if _OCTAVES * (1 << j) != half:
+            f"adaptive edges need n_buckets = 2 * {octaves} * 2^k, "
+            f"got {n_buckets}")
+    j = int(round(np.log2(half / octaves)))
+    if octaves * (1 << j) != half:
         raise ValueError(
-            f"adaptive edges need n_buckets = 32 * 2^k, got {n_buckets}")
+            f"adaptive edges need n_buckets = 2 * {octaves} * 2^k, "
+            f"got {n_buckets}")
     return half, j
 
 
@@ -52,13 +68,13 @@ def bucket_edges(n_buckets: int, edges: str = "uniform") -> np.ndarray:
     """(B+1,) float64 bucket edge array; edges[0] = 0, edges[B] = 1."""
     if edges == "uniform":
         return np.linspace(0.0, 1.0, n_buckets + 1)
-    if edges != "adaptive":
-        raise ValueError(f"unknown edges mode '{edges}'")
-    half, j = _adaptive_split(n_buckets)
+    octaves = _parse_mode(edges)
+    half, j = _adaptive_split(n_buckets, octaves)
+    exp0 = 127 - (octaves + 1)         # f32 exponent field of u_min
     qs = np.arange(half + 1, dtype=np.int64)
-    bits = ((_EXP0 << j) + qs) << (23 - j)
+    bits = ((exp0 << j) + qs) << (23 - j)
     lo = bits.astype(np.uint32).view(np.float32).astype(np.float64)
-    lo[0] = 0.0            # bucket 0 absorbs u < 2^-17 (edge q=half is 0.5 exactly)
+    lo[0] = 0.0        # bucket 0 absorbs u < 2^-(octaves+1); edge q=half is 0.5
     hi = 1.0 - lo[::-1]    # mirror for the e >= 0.5 side
     return np.concatenate([lo, hi[1:]])
 
@@ -79,10 +95,12 @@ def bucket_id_np(e: np.ndarray, n_buckets: int,
     e = np.asarray(e, np.float32)
     if edges == "uniform":
         return np.minimum((e * n_buckets).astype(np.int32), n_buckets - 1)
-    half, j = _adaptive_split(n_buckets)
+    octaves = _parse_mode(edges)
+    half, j = _adaptive_split(n_buckets, octaves)
+    exp0 = 127 - (octaves + 1)
     u = np.minimum(e, np.float32(1.0) - e)
-    uc = np.maximum(u, np.float32(2.0 ** -_MIN_EXP))
-    q = (uc.view(np.int32) >> (23 - j)) - (_EXP0 << j)
+    uc = np.maximum(u, np.float32(2.0 ** -(octaves + 1)))
+    q = (uc.view(np.int32) >> (23 - j)) - (exp0 << j)
     q = np.minimum(q, half - 1)
     return np.where(e < 0.5, q, (n_buckets - 1) - q).astype(np.int32)
 
@@ -98,10 +116,11 @@ def make_bid_fn(n_buckets: int, edges: str = "uniform"):
             return jnp.minimum((e * n_buckets).astype(jnp.int32),
                                n_buckets - 1)
         return bid_uniform
-    half, j = _adaptive_split(n_buckets)
-    q0 = _EXP0 << j
+    octaves = _parse_mode(edges)
+    half, j = _adaptive_split(n_buckets, octaves)
+    q0 = (127 - (octaves + 1)) << j
     shift = 23 - j
-    e_min = np.float32(2.0 ** -_MIN_EXP)
+    e_min = np.float32(2.0 ** -(octaves + 1))
 
     def bid_adaptive(e):
         u = jnp.minimum(e, 1.0 - e)

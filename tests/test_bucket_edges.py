@@ -75,6 +75,24 @@ def test_invalid_bucket_counts_rejected():
         bucket_edges(16, "adaptive")       # fewer than one bucket per octave
     with pytest.raises(ValueError):
         bucket_edges(256, "quantile")      # unknown mode
+    with pytest.raises(ValueError):
+        bucket_edges(256, "adaptive3")     # octaves must be a power of two
+
+
+@pytest.mark.parametrize("mode", ["adaptive8", "adaptive4"])
+def test_octave_variants_partition_and_bid(mode):
+    """Octave-count dials (PERF.md §4.2 measured all of them WORSE than
+    uniform at B=256 — kept for the record + future workloads)."""
+    B = 256
+    e = bucket_edges(B, mode)
+    assert e[0] == 0.0 and e[-1] == 1.0 and np.all(np.diff(e) > 0)
+    rng = np.random.default_rng(2)
+    s = _samples(rng, 20000)
+    bid = bucket_id_np(s, B, mode)
+    s64 = s.astype(np.float64)
+    assert np.all((e[bid] <= s64) & (s64 <= e[bid + 1]))
+    f = make_bid_fn(B, mode)
+    assert np.array_equal(np.asarray(jax.jit(f)(jnp.asarray(s))), bid)
 
 
 class TestFusedAdaptive:
