@@ -30,6 +30,25 @@ A100_INFER_BASELINE_FPS = 160.0
 V5E_PEAK_TFLOPS = 197.0
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (repo-local, gitignored). The axon
+    tunnel's server-side Mosaic/XLA compiles were measured up to ~100x
+    slower than local under load; a pre-warmed cache makes repeat bench
+    runs immune to that. Timed windows never include compiles either way.
+    Honours an externally-set JAX_COMPILATION_CACHE_DIR."""
+    import os
+    import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/root/repo/.jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception as e:  # noqa: BLE001 — cache is an optimisation only
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
+
 def pallas_histogram_tflops(n_cls: int, n_pixels_padded: int,
                             n_buckets: int) -> float:
     """MXU ops of the fused two-scale bucket-Lovász kernels per step
@@ -92,6 +111,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    _enable_compilation_cache()
     devices = jax.devices()
     ok.set()
     print(f"# devices: {devices}", file=sys.stderr, flush=True)

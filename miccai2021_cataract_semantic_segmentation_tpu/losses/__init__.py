@@ -23,20 +23,21 @@ from miccai2021_cataract_semantic_segmentation_tpu.losses.functional import (  #
 
 
 def _warn_bucket_dial(cfg: dict) -> None:
-    """One-line guard on the `lovasz_buckets` accuracy dial (VERDICT r3
-    item 6): the B=512/256 dials ship for throughput exploration but sit
-    OUTSIDE the twin-verified envelope — the 200-step training-trajectory
-    twins measured monotone loss-trajectory divergence vs the exact sort
-    loss of 3.5% (B=512) and 5.4% (B=256) at the final tail (PERF.md 4.1).
-    B>=1024 is the verified flagship default."""
+    """One-line guard on the `lovasz_buckets` accuracy dial: the B=512/256
+    dials ship for throughput but sit OUTSIDE the twin-verified envelope.
+    3-seed 200-step trajectory twins at B=256 measured a consistently
+    positive bucket-minus-sort tail gap of +0.017 +- 0.008 (~2-4% of the
+    loss; PERF.md 4.2.1) — small but not noise. B>=1024 is the verified
+    flagship default; adaptive (log) edges measured WORSE and do not lift
+    the warning (PERF.md 4.2)."""
     b = int(cfg.get("lovasz_buckets", 2048))
     if cfg.get("lovasz_impl") == "bucket" and b < 1024:
         import warnings
         warnings.warn(
             f"lovasz_buckets={b} < 1024 leaves the twin-verified envelope "
-            "(measured trajectory divergence: 3.5% at B=512, 5.4% at "
-            "B=256 over 200 steps — PERF.md 4.1); use >=1024 for the "
-            "verified recipe", stacklevel=2)
+            "(3-seed measured trajectory gap at B=256: +0.017 +- 0.008, "
+            "~2-4% of loss — PERF.md 4.2.1); use >=1024 for the verified "
+            "recipe", stacklevel=2)
 
 
 def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels):

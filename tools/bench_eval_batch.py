@@ -68,6 +68,10 @@ def main():
     res = {"devices": [str(d) for d in jax.devices()]}
 
     # -- 1. eval batch-size sweep ---------------------------------------
+    # End every timed window with an actual device->host FETCH (not just
+    # block_until_ready): on this setup the tunnel can acknowledge enqueue
+    # rather than completion when the dispatch queue is idle (PERF.md
+    # methodology note), and the sweep starts from a cold queue.
     res["eval_batch_sweep"] = {}
     for bs in (8, 16, 32):
         images = jnp.asarray(rng.integers(0, 255, (bs, h, w, 3), np.uint8))
@@ -75,11 +79,11 @@ def main():
         step = make_eval_step(spec, n_cls)
         compiled = step.lower(state, images, labels).compile()
         logits, _, cm = compiled(state, images, labels)
-        jax.block_until_ready(cm)
+        float(jnp.sum(cm))
         t0 = time.perf_counter()
         for _ in range(args.steps):
             logits, _, cm = compiled(state, images, labels)
-        jax.block_until_ready(cm)
+        float(jnp.sum(cm))
         dt = (time.perf_counter() - t0) / args.steps
         fps = bs / dt
         res["eval_batch_sweep"][bs] = {"ms_step": round(dt * 1e3, 2),
@@ -94,7 +98,10 @@ def main():
         "lovasz_buckets": 1024,
         "interm": {"name": "LovaszSoftmax", "weight": 0.4},
         "final": {"name": "LovaszSoftmax", "weight": 1.0}}, task)
-    tstep = make_train_step(loss_fn, spec, task, train_metrics="s8")
+    # donate=False: the random-init `state` is reused afterwards for the
+    # worst-case (ties-heavy) argmax comparison — donation would delete it
+    tstep = make_train_step(loss_fn, spec, task, train_metrics="s8",
+                            donate=False)
     pool_i, pool_l = make_learnable_frames(rng, 16, h, w, 17)
     key = jax.random.PRNGKey(1)
     tstate = state
@@ -146,11 +153,11 @@ def main():
     for tag, f in (("f32", jax.jit(lambda s, im: serve_pred(s, im, jnp.float32))),
                    ("bf16", jax.jit(lambda s, im: serve_pred(s, im, jnp.bfloat16)))):
         o = f(tstate, images)
-        jax.block_until_ready(o)
+        float(jnp.sum(o))          # real fetch — see the sweep comment
         t0 = time.perf_counter()
         for _ in range(args.steps):
             o = f(tstate, images)
-        jax.block_until_ready(o)
+        float(jnp.sum(o))
         dt = (time.perf_counter() - t0) / args.steps
         res[f"serve_argmax_{tag}_ms"] = round(dt * 1e3, 2)
         res[f"serve_argmax_{tag}_fps"] = round(8 / dt, 1)
