@@ -129,7 +129,9 @@ def main():
     h, w = 540, 960  # padded to 544 on device
     n_cls = 17
     # optional dial override for perf exploration: `python bench.py 256`
+    # (+ `dither` for the stochastic bucket assignment, PERF.md s4.2.2)
     n_buckets = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    dither = "dither" in sys.argv[2:]
     model = build_model({"model": "OCRNet", "backbone": "resnet50",
                          "out_stride": 8}, task, dtype=jnp.bfloat16)
     # lovasz_impl "bucket" = the flagship config's recipe (sort-free Pallas
@@ -138,6 +140,7 @@ def main():
         "name": "TwoScaleLoss",
         "lovasz_impl": "bucket",
         "lovasz_buckets": n_buckets,   # paired-row kernel (PERF.md section 4)
+        "lovasz_dither": dither,
         "interm": {"name": "LovaszSoftmax", "weight": 0.4},
         "final": {"name": "LovaszSoftmax", "weight": 1.0},
     }, task)

@@ -40,7 +40,16 @@ def _warn_bucket_dial(cfg: dict) -> None:
             "recipe", stacklevel=2)
 
 
-def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels):
+def _dither_seed_of(cfg: dict, step):
+    """Per-step dither seed when `lovasz_dither` is on: the train step's
+    step counter, or 0 on paths with no step (eval loss — deterministic
+    fixed-seed dither there). None disables dither (the default)."""
+    if not cfg.get("lovasz_dither", False):
+        return None
+    return step if step is not None else 0
+
+
+def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels, step=None):
     """Route a single-scale bucket Lovász through the fused NCHW kernels
     when the model exposes its pre-upsample logits (losses/fused_lovasz.py).
     Returns None when ineligible (caller falls back to the generic path)."""
@@ -59,7 +68,8 @@ def _maybe_fused_single_lovasz(cfg: dict, outputs: dict, labels):
         classes_to_ignore=cfg.get("classes_to_ignore"),
         n_buckets=int(cfg.get("lovasz_buckets", 2048)),
         align_corners=ac,
-        edges=cfg.get("lovasz_edges", "uniform"))
+        edges=cfg.get("lovasz_edges", "uniform"),
+        dither_seed=_dither_seed_of(cfg, step))
 
 
 def _single_loss(name: str, cfg: dict, task: int):
@@ -119,7 +129,7 @@ def build_two_scale(cfg: dict, task: int):
         impl = cfg.get("lovasz_impl", interm_cfg.get("lovasz_impl", "sort"))
 
         def fused_fn(interm_logits, final_logits, labels,
-                     interm_s8=None, final_s8=None):
+                     interm_s8=None, final_s8=None, step=None):
             # Fastest path: stride-8 logits available and bucket impl ->
             # the upsample+softmax+histogram pipeline runs fully fused in
             # (C, P) row layout (losses/fused_lovasz.py), skipping the
@@ -131,7 +141,8 @@ def build_two_scale(cfg: dict, task: int):
                     interm_s8, final_s8, labels, w_interm, w_final,
                     classes_to_ignore=ign,
                     n_buckets=int(cfg.get("lovasz_buckets", 2048)),
-                    edges=cfg.get("lovasz_edges", "uniform"))
+                    edges=cfg.get("lovasz_edges", "uniform"),
+                    dither_seed=_dither_seed_of(cfg, step))
             h, w = labels.shape[-2:]
             if interm_logits.shape[1:3] != (h, w):
                 interm_logits = resize_bilinear(interm_logits, (h, w),
@@ -148,7 +159,7 @@ def build_two_scale(cfg: dict, task: int):
     final_fn = _single_loss(final_cfg["name"], final_cfg, task)
 
     def loss_fn(interm_logits, final_logits, labels,
-                interm_s8=None, final_s8=None):
+                interm_s8=None, final_s8=None, step=None):
         h, w = labels.shape[-2:]
         if interm_logits.shape[1:3] != (h, w):
             interm_logits = resize_bilinear(interm_logits, (h, w), align_corners=False)
@@ -205,13 +216,13 @@ def build_semi_supervised(cfg: dict, task: int):
         lab_fn = _single_loss(lab_cfg["name"], lab_cfg, task)
         ulab_fn = _single_loss(ulab_cfg["name"], ulab_cfg, task)
 
-    def semi_fn(outputs, labels, epoch=None):
+    def semi_fn(outputs, labels, epoch=None, step=None):
         n = labels.shape[0]
         h = n // 2
         if two_scale:
             interm, final = outputs["interm_logits"], outputs["logits"]
-            v_lab = lab_fn(interm[:h], final[:h], labels[:h])
-            v_ulab = ulab_fn(interm[h:], final[h:], labels[h:])
+            v_lab = lab_fn(interm[:h], final[:h], labels[:h], step=step)
+            v_ulab = ulab_fn(interm[h:], final[h:], labels[h:], step=step)
         else:
             lg = outputs["logits"]
             v_lab = lab_fn(lg[:h], labels[:h])
@@ -249,7 +260,7 @@ def build_loss(loss_config: dict, task: int):
             else:
                 terms[lname] = _single_loss(lname, cfg.get(lname, cfg), task)
 
-        def wrapper_fn(outputs, labels, epoch=None):
+        def wrapper_fn(outputs, labels, epoch=None, step=None):
             total = jnp.float32(0.0)
             vals = {}
             for lname, weight in weightings.items():
@@ -257,7 +268,8 @@ def build_loss(loss_config: dict, task: int):
                     v = terms[lname](outputs["interm_logits"], outputs["logits"],
                                      labels,
                                      interm_s8=outputs.get("interm_logits_s8"),
-                                     final_s8=outputs.get("logits_s8"))
+                                     final_s8=outputs.get("logits_s8"),
+                                     step=step)
                 elif lname in _dc_names:
                     # DenseContrastive losses consume the projector features
                     # (OCRNet_Manager.py:82-84 passes proj_features as the
@@ -310,7 +322,7 @@ def build_loss(loss_config: dict, task: int):
                     # must be jnp.where, not Python `if` (which raises
                     # TracerBoolConversionError under jit).
                     v = (_maybe_fused_single_lovasz(
-                            cfg.get(lname, cfg), outputs, labels)
+                            cfg.get(lname, cfg), outputs, labels, step=step)
                          if lname == "LovaszSoftmax" else None)
                     if v is None:
                         v = terms[lname](outputs["logits"], labels)
@@ -318,7 +330,7 @@ def build_loss(loss_config: dict, task: int):
                                   jnp.float32(0.0), v)
                 else:
                     v = (_maybe_fused_single_lovasz(
-                            cfg.get(lname, cfg), outputs, labels)
+                            cfg.get(lname, cfg), outputs, labels, step=step)
                          if lname == "LovaszSoftmax" else None)
                     if v is None:
                         v = terms[lname](outputs["logits"], labels)
@@ -332,10 +344,10 @@ def build_loss(loss_config: dict, task: int):
     if name == "TwoScaleLoss":
         ts = build_two_scale(cfg, task)
 
-        def two_scale_fn(outputs, labels, epoch=None):
+        def two_scale_fn(outputs, labels, epoch=None, step=None):
             v = ts(outputs["interm_logits"], outputs["logits"], labels,
                    interm_s8=outputs.get("interm_logits_s8"),
-                   final_s8=outputs.get("logits_s8"))
+                   final_s8=outputs.get("logits_s8"), step=step)
             return v, {"TwoScaleLoss": v}
 
         return two_scale_fn
@@ -345,8 +357,8 @@ def build_loss(loss_config: dict, task: int):
 
     single = _single_loss(name, cfg, task)
 
-    def single_fn(outputs, labels, epoch=None):
-        v = (_maybe_fused_single_lovasz(cfg, outputs, labels)
+    def single_fn(outputs, labels, epoch=None, step=None):
+        v = (_maybe_fused_single_lovasz(cfg, outputs, labels, step=step)
              if name == "LovaszSoftmax" else None)
         if v is None:
             v = single(outputs["logits"], labels)

@@ -105,6 +105,67 @@ def bucket_id_np(e: np.ndarray, n_buckets: int,
     return np.where(e < 0.5, q, (n_buckets - 1) - q).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# Per-pixel dither (stochastic quantisation). With fixed uniform edges the
+# bucket map floor(e*B) systematically groups each pixel with the same
+# neighbours every step, and the 3-seed twins measured a small but
+# consistent upward trajectory bias at B=256 (PERF.md 4.2.1). Subtractive
+# dither replaces the fixed map with floor(e*B + d - 1/2), d ~ U[0, 1)
+# drawn from a counter-based hash of (global pixel index, step seed):
+# E_d[floor(x + d - 1/2)] = x - 1/2 + E[d] + ... = x exactly, so the
+# assignment is UNBIASED in expectation over steps — systematic smearing
+# becomes zero-mean noise that SGD averages out. The hash is stateless
+# (murmur3 finalizer), so the backward kernel reproduces the forward's
+# bucket ids bit-exactly from the same (index, seed) regardless of its
+# different block height — gradients stay exact for the sampled loss.
+# ---------------------------------------------------------------------------
+
+# murmur3 fmix32 constants as signed int32 (TPU kernels compute in int32;
+# multiplication wraps two's-complement in both XLA and numpy uint32)
+_FMIX_C1 = -2048144789      # 0x85EBCA6B
+_FMIX_C2 = -1028477387      # 0xC2B2AE35
+
+
+def fmix32_np(h: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer on uint32 arrays — the numpy twin of the in-kernel
+    hash (wraparound multiply, logical shifts)."""
+    h = h.astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    h = h * np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h = h * np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def dither_unit_np(idx: np.ndarray, seed: int) -> np.ndarray:
+    """d in [0, 1): 16-bit uniform from hash(global pixel index ^ seed)."""
+    h = fmix32_np(idx.astype(np.uint32) ^ np.uint32(seed & 0xFFFFFFFF))
+    return (h & np.uint32(0xFFFF)).astype(np.float32) * np.float32(1 / 65536)
+
+
+def dithered_bucket_id_np(e: np.ndarray, idx: np.ndarray, seed: int,
+                          n_buckets: int) -> np.ndarray:
+    """Numpy twin of the in-kernel dithered (uniform-edge) bucket map:
+    bid = clip(floor(e*B + d - 1/2), 0, B-1), via the shifted-error form
+    the kernels use (e' = e + (d - 1/2)/B through the standard uniform map,
+    whose int32 truncation-toward-zero clamps the e' < 0 tail to bucket 0)."""
+    d = dither_unit_np(idx, seed)
+    e2 = e.astype(np.float32) + (d - np.float32(0.5)) / np.float32(n_buckets)
+    return np.minimum((e2 * n_buckets).astype(np.int32), n_buckets - 1)
+
+
+def fmix32_jax(h):
+    """In-kernel murmur3 finalizer on int32 (Pallas/TPU traceable)."""
+    import jax
+    sr = jax.lax.shift_right_logical
+    h = h ^ sr(h, 16)
+    h = h * np.int32(_FMIX_C1)
+    h = h ^ sr(h, 13)
+    h = h * np.int32(_FMIX_C2)
+    return h ^ sr(h, 16)
+
+
 def make_bid_fn(n_buckets: int, edges: str = "uniform"):
     """In-kernel bucket-id function: f32 error array -> int32 bucket ids.
     Traceable inside Pallas TPU kernels (bitcast + shift are VPU ops)."""

@@ -60,7 +60,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from miccai2021_cataract_semantic_segmentation_tpu.losses.bucket_edges import (
-    bucket_midpoints_np, make_bid_fn)
+    bucket_midpoints_np, fmix32_jax, make_bid_fn)
 from miccai2021_cataract_semantic_segmentation_tpu.ops.resize import _interp_matrix
 
 def _use_interpret() -> bool:
@@ -581,8 +581,25 @@ def _fu_stage_probs(u1scr, sscr, pscr, lscr, lbl_ref, mw_ref, *, n_scales,
             pscr[si * n_cls:(si + 1) * n_cls, pl.ds(j * w, w)] = sscr[:, j, :]
 
 
+def _dither_shift(seed_ref, *, bh, w, n_b):
+    """(1, K) error shift (d - 1/2)/B from a counter-based hash of the
+    GLOBAL pixel index (batch-row-col order) and the step seed, so the
+    backward kernel reproduces the forward's bucket ids bit-exactly even at
+    a different block height (losses/bucket_edges.py dither rationale).
+    Global index of lane l in grid cell (i, j): (i*H_pad + j*bh)*W_pad + l —
+    the (bh, w) block flattens row-major, so consecutive lanes are
+    consecutive pixels."""
+    k = bh * w
+    base = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) * k
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    h = fmix32_jax(idx ^ seed_ref[0])
+    d = (h & 0xFFFF).astype(jnp.float32) * np.float32(1 / 65536)
+    return (d - np.float32(0.5)) * np.float32(1.0 / n_b)
+
+
 def _fu_bucket_fields(pscr, lscr, hiscr, combscr, *, n_scales, n_cls, k, w,
-                      w_real, hi_n, lo_n, mask_pad, edges="uniform"):
+                      w_real, hi_n, lo_n, mask_pad, edges="uniform",
+                      dshift=None):
     """Precompute the bucket-id fields for EVERY row at once.
 
     The per-row formulation computed e/bid/hi/comb on (1, K) vectors — a
@@ -612,6 +629,11 @@ def _fu_bucket_fields(pscr, lscr, hiscr, combscr, *, n_scales, n_cls, k, w,
         rows = slice(si * n_cls, (si + 1) * n_cls)
         p = pscr[rows, :] * valid                            # (C, K)
         e = jnp.abs(fg_f - p)
+        if dshift is not None:
+            # dithered uniform map: floor((e + (d-1/2)/B) * B) through the
+            # standard bid fn; int32 truncation-toward-zero clamps the
+            # e' < 0 tail to bucket 0 (bucket_edges.dithered_bucket_id_np)
+            e = e + dshift
         bid = bid_of(e)
         if mask_pad:
             bid = jnp.where(keep, bid, -1)
@@ -623,10 +645,10 @@ def _fu_bucket_fields(pscr, lscr, hiscr, combscr, *, n_scales, n_cls, k, w,
             combscr[rows, :] = bid % lo_n + lo_n * fg_i
 
 
-def _fu_fwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
+def _fu_fwd_kernel(seed_ref, lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
                    u1scr, pscr, sscr, lscr, hiscr, combscr,
                    *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad,
-                   edges):
+                   edges, dither):
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
@@ -640,9 +662,11 @@ def _fu_fwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, out_ref,
                     n_scales=n_scales, n_cls=n_cls, bh=bh, w=w,
                     ws_pad=ws_pad)
     k = bh * w
+    dshift = _dither_shift(seed_ref, bh=bh, w=w, n_b=hi_n * lo_n) \
+        if dither else None
     _fu_bucket_fields(pscr, lscr, hiscr, combscr, n_scales=n_scales,
                       n_cls=n_cls, k=k, w=w, w_real=w_real, hi_n=hi_n,
-                      lo_n=lo_n, mask_pad=True, edges=edges)
+                      lo_n=lo_n, mask_pad=True, edges=edges, dshift=dshift)
     _fu_hist_accumulate(hiscr, combscr, out_ref, n_rows=n_scales * n_cls,
                         n_cls=n_cls, k=k, hi_n=hi_n, lo_n=lo_n,
                         pack_scales=(n_scales == 2))
@@ -715,10 +739,10 @@ def _fu_hist_accumulate(hiscr, combscr, out_ref, *, n_rows, n_cls, k,
             accumulate([r])
 
 
-def _fu_bwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref, tbl_ref,
-                   dls_ref, u1scr, pscr, dscr, sscr, lscr, hiscr, combscr,
-                   *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n, ws_pad,
-                   edges):
+def _fu_bwd_kernel(seed_ref, lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref,
+                   tbl_ref, dls_ref, u1scr, pscr, dscr, sscr, lscr, hiscr,
+                   combscr, *, n_scales, n_cls, bh, w, w_real, hi_n, lo_n,
+                   ws_pad, edges, dither):
     @pl.when(pl.program_id(1) == 0)
     def _():
         dls_ref[...] = jnp.zeros_like(dls_ref)
@@ -733,10 +757,14 @@ def _fu_bwd_kernel(lbl_ref, ls_ref, mhT_ref, mw_ref, mwT_ref, tbl_ref,
     n_rows = n_scales * n_cls
     # full-width bucket fields (see _fu_bucket_fields; bwd keeps the row
     # form's exact semantics: no lane-pad masking of bid — invalid pixels
-    # zero out via `valid` below)
+    # zero out via `valid` below). The dither shift reproduces the forward's
+    # bucket ids exactly: same (global index, seed) hash, block-height
+    # independent (_dither_shift).
+    dshift = _dither_shift(seed_ref, bh=bh, w=w, n_b=hi_n * lo_n) \
+        if dither else None
     _fu_bucket_fields(pscr, lscr, hiscr, combscr, n_scales=n_scales,
                       n_cls=n_cls, k=k, w=w, w_real=w_real, hi_n=hi_n,
-                      lo_n=lo_n, mask_pad=False, edges=edges)
+                      lo_n=lo_n, mask_pad=False, edges=edges, dshift=dshift)
     lbl = lscr[0:1, :]
     valid = (lbl >= 0).astype(jnp.float32)
     if w_real != w:
@@ -818,18 +846,23 @@ def _fu_mats(hs, ws, hs_pad, ws_pad, out_hw, h_pad, w_pad, align):
 
 
 def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
-                  w_real: int, n_buckets: int, edges: str = "uniform"):
+                  w_real: int, n_buckets: int, edges: str = "uniform",
+                  seed=None, dither: bool = False):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, hs_pad, lanes = ls2d.shape
     r_rows = n_scales * n_cls
     ws_pad = lanes // r_rows
     h_pad, w_pad = labels.shape[1], labels.shape[2]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     out = pl.pallas_call(
         functools.partial(_fu_fwd_kernel, n_scales=n_scales, n_cls=n_cls,
                           bh=bh, w=w_pad, w_real=w_real, hi_n=hi_n,
-                          lo_n=lo_n, ws_pad=ws_pad, edges=edges),
+                          lo_n=lo_n, ws_pad=ws_pad, edges=edges,
+                          dither=dither),
         grid=(n, h_pad // bh),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bh, w_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hs_pad, lanes), lambda i, j: (i, 0, 0),
@@ -851,7 +884,7 @@ def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
                         pltpu.VMEM((r_rows, bh * w_pad), jnp.int32)],
         interpret=_use_interpret(),
         compiler_params=_cparams(),
-    )(labels, ls2d, mhT, mw)
+    )(seed, labels, ls2d, mhT, mw)
     out = out.reshape(r_rows, hi_n, 2, lo_n).astype(jnp.float32)
     n_bg = out[:, :, 0].reshape(r_rows, n_buckets)
     n_fg = out[:, :, 1].reshape(r_rows, n_buckets)
@@ -860,18 +893,23 @@ def _fu_histogram(ls2d, labels, mhT, mw, n_scales: int, n_cls: int, bh: int,
 
 
 def _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, n_scales: int, n_cls: int,
-             bh: int, w_real: int, n_buckets: int, edges: str = "uniform"):
+             bh: int, w_real: int, n_buckets: int, edges: str = "uniform",
+             seed=None, dither: bool = False):
     hi_n, lo_n = _bucket_split(n_buckets)
     n, hs_pad, lanes = ls2d.shape
     r_rows = n_scales * n_cls
     ws_pad = lanes // r_rows
     h_pad, w_pad = labels.shape[1], labels.shape[2]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     return pl.pallas_call(
         functools.partial(_fu_bwd_kernel, n_scales=n_scales, n_cls=n_cls,
                           bh=bh, w=w_pad, w_real=w_real, hi_n=hi_n,
-                          lo_n=lo_n, ws_pad=ws_pad, edges=edges),
+                          lo_n=lo_n, ws_pad=ws_pad, edges=edges,
+                          dither=dither),
         grid=(n, h_pad // bh),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bh, w_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hs_pad, lanes), lambda i, j: (i, 0, 0),
@@ -897,11 +935,11 @@ def _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, n_scales: int, n_cls: int,
                         pltpu.VMEM((r_rows, bh * w_pad), jnp.int32)],
         interpret=_use_interpret(),
         compiler_params=_cparams(),
-    )(labels, ls2d, mhT, mw, mwT, tbl)
+    )(seed, labels, ls2d, mhT, mw, mwT, tbl)
 
 
 def _fu_core_fwd(parts, labels, n_cls, bh, out_hw, n_buckets, align,
-                 edges="uniform"):
+                 edges="uniform", seed=None, dither=False):
     n, hs, ws, _ = parts[0].shape
     hs_pad = -(-hs // 8) * 8
     ws_pad = -(-ws // 128) * 128
@@ -909,11 +947,11 @@ def _fu_core_fwd(parts, labels, n_cls, bh, out_hw, n_buckets, align,
     mhT, mw, _ = _fu_mats(hs, ws, hs_pad, ws_pad, out_hw, h_pad, w_pad, align)
     ls2d = _fu_prep(parts, hs_pad, ws_pad)
     return _fu_histogram(ls2d, labels, mhT, mw, len(parts), n_cls, bh,
-                         out_hw[1], n_buckets, edges)
+                         out_hw[1], n_buckets, edges, seed, dither)
 
 
 def _fu_core_bwd(parts, labels, g_fg, g_bg, ct, n_cls, bh, out_hw,
-                 n_buckets, align, edges="uniform"):
+                 n_buckets, align, edges="uniform", seed=None, dither=False):
     """Shared VJP tail: build the bucket-gradient tables, run the grad
     kernel, unpack the packed stride-8 layout back to per-scale NHWC."""
     n, hs, ws, c = parts[0].shape
@@ -929,71 +967,78 @@ def _fu_core_bwd(parts, labels, g_fg, g_bg, ct, n_cls, bh, out_hw,
                             align)
     ls2d = _fu_prep(parts, hs_pad, ws_pad)
     dls = _fu_grad(ls2d, labels, mhT, mw, mwT, tbl, len(parts), n_cls, bh,
-                   out_hw[1], n_buckets, edges)
+                   out_hw[1], n_buckets, edges, seed, dither)
     d = dls.reshape(n, hs_pad, r_rows, ws_pad)[:, :hs, :, :ws]
     d = d.transpose(0, 1, 3, 2)                          # (N, hs, ws, R)
     return [d[..., i * c:(i + 1) * c].astype(p.dtype)
             for i, p in enumerate(parts)]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def lovasz_two_scale_s8(li_s8, lf_s8, labels, n_cls: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def lovasz_two_scale_s8(li_s8, lf_s8, labels, seed, n_cls: int,
                         bhs: tuple[int, int], out_hw: tuple[int, int],
-                        n_buckets: int = 2048, edges: str = "uniform"):
+                        n_buckets: int = 2048, edges: str = "uniform",
+                        dither: bool = False):
     """Two-scale bucket-Lovász straight from stride-8 NHWC logits with the
     align_corners=True bilinear upsample fused into the kernels (v4).
 
     `labels` (N, H_pad, W_pad) i32 with ignore pixels folded to -1 and all
-    padding (lanes >= out_hw[1], rows >= out_hw[0]) set to -1. Returns
+    padding (lanes >= out_hw[1], rows >= out_hw[0]) set to -1. `seed` is a
+    (1,) int32 dither seed (consumed only when `dither`). Returns
     (per_row (2C,), gts (2C,)): rows [0, C) interm scale, [C, 2C) final."""
     per_row, gts, _, _ = _losses_and_tables(
         _fu_core_fwd([li_s8, lf_s8], labels, n_cls, bhs[0], out_hw,
-                     n_buckets, True, edges))
+                     n_buckets, True, edges, seed, dither))
     return per_row, gts
 
 
-def _fu2_fwd(li_s8, lf_s8, labels, n_cls, bhs, out_hw, n_buckets, edges):
+def _fu2_fwd(li_s8, lf_s8, labels, seed, n_cls, bhs, out_hw, n_buckets,
+             edges, dither):
     per_row, gts, g_fg, g_bg = _losses_and_tables(
         _fu_core_fwd([li_s8, lf_s8], labels, n_cls, bhs[0], out_hw,
-                     n_buckets, True, edges))
-    return (per_row, gts), (li_s8, lf_s8, labels, g_fg, g_bg)
+                     n_buckets, True, edges, seed, dither))
+    return (per_row, gts), (li_s8, lf_s8, labels, seed, g_fg, g_bg)
 
 
-def _fu2_bwd(n_cls, bhs, out_hw, n_buckets, edges, res, cts):
-    li_s8, lf_s8, labels, g_fg, g_bg = res
+def _fu2_bwd(n_cls, bhs, out_hw, n_buckets, edges, dither, res, cts):
+    li_s8, lf_s8, labels, seed, g_fg, g_bg = res
     dli, dlf = _fu_core_bwd([li_s8, lf_s8], labels, g_fg, g_bg, cts[0],
-                            n_cls, bhs[1], out_hw, n_buckets, True, edges)
-    return dli, dlf, None
+                            n_cls, bhs[1], out_hw, n_buckets, True, edges,
+                            seed, dither)
+    return dli, dlf, None, None
 
 
 lovasz_two_scale_s8.defvjp(_fu2_fwd, _fu2_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def lovasz_single_s8(lg_s8, labels, n_cls: int, bhs: tuple[int, int],
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def lovasz_single_s8(lg_s8, labels, seed, n_cls: int, bhs: tuple[int, int],
                      out_hw: tuple[int, int], n_buckets: int,
-                     align_corners: bool, edges: str = "uniform"):
+                     align_corners: bool, edges: str = "uniform",
+                     dither: bool = False):
     """Single-scale bucket-Lovász from stride-8 NHWC logits with the model's
     final bilinear upsample fused into the kernels (v4)."""
     per_class, gts, _, _ = _losses_and_tables(
         _fu_core_fwd([lg_s8], labels, n_cls, bhs[0], out_hw, n_buckets,
-                     align_corners, edges))
+                     align_corners, edges, seed, dither))
     return per_class, gts
 
 
-def _fu1_fwd(lg_s8, labels, n_cls, bhs, out_hw, n_buckets, align_corners,
-             edges):
+def _fu1_fwd(lg_s8, labels, seed, n_cls, bhs, out_hw, n_buckets,
+             align_corners, edges, dither):
     per_class, gts, g_fg, g_bg = _losses_and_tables(
         _fu_core_fwd([lg_s8], labels, n_cls, bhs[0], out_hw, n_buckets,
-                     align_corners, edges))
-    return (per_class, gts), (lg_s8, labels, g_fg, g_bg)
+                     align_corners, edges, seed, dither))
+    return (per_class, gts), (lg_s8, labels, seed, g_fg, g_bg)
 
 
-def _fu1_bwd(n_cls, bhs, out_hw, n_buckets, align_corners, edges, res, cts):
-    lg_s8, labels, g_fg, g_bg = res
+def _fu1_bwd(n_cls, bhs, out_hw, n_buckets, align_corners, edges, dither,
+             res, cts):
+    lg_s8, labels, seed, g_fg, g_bg = res
     (dlg,) = _fu_core_bwd([lg_s8], labels, g_fg, g_bg, cts[0], n_cls,
-                          bhs[1], out_hw, n_buckets, align_corners, edges)
-    return dlg, None
+                          bhs[1], out_hw, n_buckets, align_corners, edges,
+                          seed, dither)
+    return dlg, None, None
 
 
 lovasz_single_s8.defvjp(_fu1_fwd, _fu1_bwd)
@@ -1003,18 +1048,34 @@ lovasz_single_s8.defvjp(_fu1_fwd, _fu1_bwd)
 # Public entry: fused two-scale Lovász from stride-8 logits
 # ---------------------------------------------------------------------------
 
+def _norm_dither_seed(dither_seed):
+    """(seed (1,) int32, dither flag) from a dither_seed argument: None
+    disables dither; any int / traced scalar enables it (the per-step seed,
+    typically state.step — see losses/bucket_edges.py dither rationale)."""
+    if dither_seed is None:
+        return None, False
+    if _USE_V3:
+        raise ValueError("lovasz dither requires the v4 fused kernels "
+                         "(unset CADIS_FUSED_V3)")
+    return jnp.asarray(dither_seed, jnp.int32).reshape(1), True
+
+
 def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
                                      labels, w_interm: float, w_final: float,
                                      classes_to_ignore: int | None = None,
                                      n_buckets: int = 2048,
-                                     edges: str = "uniform"):
+                                     edges: str = "uniform",
+                                     dither_seed=None):
     """TwoScaleLoss(Lovász, Lovász) evaluated at full label resolution from
     stride-8 logits, with the align_corners=True upsample fused into the
     transposed-layout pipeline (reference: models/OCR.py:128-138 upsamples
     both logit sets with align_corners=True before TwoScaleLoss).
 
     `edges`: bucket-edge mode, "uniform" or "adaptive" (two-sided log edges,
-    losses/bucket_edges.py) — same kernel cost, different quantisation."""
+    losses/bucket_edges.py) — same kernel cost, different quantisation.
+    `dither_seed`: int or traced int scalar enables per-pixel stochastic
+    bucket assignment seeded per step (unbiased quantisation — see
+    losses/bucket_edges.py); None = deterministic edges."""
     n, h, w = labels.shape
     c = final_logits_s8.shape[-1]
     lbl = labels.astype(jnp.int32)
@@ -1025,11 +1086,14 @@ def fused_two_scale_bucket_lovasz_s8(interm_logits_s8, final_logits_s8,
     if w_pad != w or h_pad != h:
         lbl = jnp.pad(lbl, ((0, 0), (0, h_pad - h), (0, w_pad - w)),
                       constant_values=-1)
+    seed, dither = _norm_dither_seed(dither_seed)
     if not _USE_V3:
         bhs = (_pick_bh(h_pad, _FU_FWD_BH_CAP), _pick_bh(h_pad, _FU_BWD_BH_CAP))
+        if seed is None:
+            seed = jnp.zeros((1,), jnp.int32)
         per_row, gts = lovasz_two_scale_s8(interm_logits_s8, final_logits_s8,
-                                           lbl, c, bhs, (h, w), n_buckets,
-                                           edges)
+                                           lbl, seed, c, bhs, (h, w),
+                                           n_buckets, edges, dither)
     else:
         bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD_BH_CAP))
         li = upsample_nchw(interm_logits_s8, (h, w), w_pad=w_pad,
@@ -1266,7 +1330,8 @@ def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
                            classes_to_ignore: int | None = None,
                            n_buckets: int = 2048,
                            align_corners: bool = True,
-                           edges: str = "uniform"):
+                           edges: str = "uniform",
+                           dither_seed=None):
     """Single-scale bucket Lovász-Softmax from pre-upsample logits, with
     the model's final bilinear upsample fused into the NCHW pipeline.
 
@@ -1274,7 +1339,8 @@ def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
     `classes_to_consider` None/'present' averages over classes present in
     the labels, 'all' over every channel, or an explicit id list.
     `align_corners` must match the model's own final upsample (True for
-    OCR/DeepLab heads, False for UPerNet, models/*.py)."""
+    OCR/DeepLab heads, False for UPerNet, models/*.py).
+    `dither_seed`: see fused_two_scale_bucket_lovasz_s8."""
     n, h, w = labels.shape
     c = logits_s8.shape[-1]
     lbl = labels.astype(jnp.int32)
@@ -1285,10 +1351,14 @@ def fused_bucket_lovasz_s8(logits_s8, labels, classes_to_consider=None,
     if w_pad != w or h_pad != h:
         lbl = jnp.pad(lbl, ((0, 0), (0, h_pad - h), (0, w_pad - w)),
                       constant_values=-1)
+    seed, dither = _norm_dither_seed(dither_seed)
     if not _USE_V3:
         bhs = (_pick_bh(h_pad, _FU_FWD_BH_CAP), _pick_bh(h_pad, _FU_BWD_BH_CAP))
-        per_class, gts = lovasz_single_s8(logits_s8, lbl, c, bhs, (h, w),
-                                          n_buckets, align_corners, edges)
+        if seed is None:
+            seed = jnp.zeros((1,), jnp.int32)
+        per_class, gts = lovasz_single_s8(logits_s8, lbl, seed, c, bhs,
+                                          (h, w), n_buckets, align_corners,
+                                          edges, dither)
     else:
         bhs = (_pick_bh(h_pad, _FWD_BH_CAP), _pick_bh(h_pad, _BWD1_BH_CAP))
         lg = upsample_nchw(logits_s8, (h, w), align_corners=align_corners,

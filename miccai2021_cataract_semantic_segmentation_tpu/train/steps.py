@@ -123,18 +123,18 @@ def _sharded_loss(loss_fn: Callable, mesh, data_axis: str,
     from jax.sharding import PartitionSpec as P
     shard_map = jax.shard_map
 
-    def apply(outputs, lbl, epoch):
-        def local(outputs, lbl, epoch):
-            total, terms = loss_fn(outputs, lbl, epoch=epoch)
+    def apply(outputs, lbl, epoch, step):
+        def local(outputs, lbl, epoch, step):
+            total, terms = loss_fn(outputs, lbl, epoch=epoch, step=step)
             total = jax.lax.pmean(total, data_axis)
             terms = jax.tree.map(lambda t: jax.lax.pmean(t, data_axis), terms)
             return total, terms
 
         in_specs = (jax.tree.map(lambda _: P(data_axis), outputs),
-                    P(data_axis), P())
+                    P(data_axis), P(), P())
         return shard_map(local, mesh=mesh, in_specs=in_specs,
                          out_specs=(P(), P()),
-                         check_vma=check_vma)(outputs, lbl, epoch)
+                         check_vma=check_vma)(outputs, lbl, epoch, step)
 
     return apply
 
@@ -175,8 +175,8 @@ def make_train_step(loss_fn: Callable, spec, task: int,
     compute_loss = (_sharded_loss(loss_fn, mesh, data_axis,
                                   check_vma=sharded_loss_check_vma)
                     if mesh is not None
-                    else (lambda outputs, lbl, epoch:
-                          loss_fn(outputs, lbl, epoch=epoch)))
+                    else (lambda outputs, lbl, epoch, step:
+                          loss_fn(outputs, lbl, epoch=epoch, step=step)))
 
     def step(state, images_u8, labels_u8, rng, epoch):
         rng = jax.random.fold_in(rng, state.step)
@@ -218,7 +218,11 @@ def make_train_step(loss_fn: Callable, spec, task: int,
                 {"params": params, "batch_stats": state.batch_stats},
                 x, True, mutable=["batch_stats"],
                 rngs={"points": points_rng, "dropout": dropout_rng})
-            total, terms = compute_loss(outputs, lbl, epoch)
+            # state.step seeds the per-step bucket dither when
+            # `lovasz_dither` is configured (losses/bucket_edges.py); inert
+            # for every other loss (optional kwarg, unused by default)
+            total, terms = compute_loss(outputs, lbl, epoch,
+                                        state.step.astype(jnp.int32))
             if has_point_head and "point_logits" in outputs:
                 p_loss = _point_loss(
                     outputs, lbl, task,

@@ -55,7 +55,7 @@ def make_learnable_frames(rng: np.random.Generator, n: int, h: int, w: int,
 def run_twin(impl: str, batches, *, backbone: str, h: int, w: int,
              n_steps: int, n_buckets: int, task: int = 2, lr: float = 1e-4,
              pad: bool = True, record_every: int = 1,
-             edges: str = "uniform"):
+             edges: str = "uniform", dither: bool = False):
     """One training run; returns (losses np.ndarray, final params pytree)."""
     import jax
     import jax.numpy as jnp
@@ -78,6 +78,7 @@ def run_twin(impl: str, batches, *, backbone: str, h: int, w: int,
         "lovasz_impl": impl,
         "lovasz_buckets": n_buckets,
         "lovasz_edges": edges,
+        "lovasz_dither": dither,
         "interm": {"name": "LovaszSoftmax", "weight": 0.4},
         "final": {"name": "LovaszSoftmax", "weight": 1.0},
     }, task)
@@ -103,7 +104,7 @@ def run_twin(impl: str, batches, *, backbone: str, h: int, w: int,
 def compare_twins(*, backbone: str, h: int, w: int, bs: int, n_pool: int,
                   n_steps: int, n_buckets: int, pad: bool = True,
                   lr: float = 1e-4, data_seed: int = 0,
-                  edges: str = "uniform") -> dict:
+                  edges: str = "uniform", dither: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -117,7 +118,8 @@ def compare_twins(*, backbone: str, h: int, w: int, bs: int, n_pool: int,
         t0 = time.perf_counter()
         losses, params = run_twin(impl, batches, backbone=backbone, h=h, w=w,
                                   n_steps=n_steps, n_buckets=n_buckets,
-                                  pad=pad, lr=lr, edges=edges)
+                                  pad=pad, lr=lr, edges=edges,
+                                  dither=dither and impl == "bucket")
         results[impl] = (losses, params)
         print(f"# {impl}: {n_steps} steps in {time.perf_counter() - t0:.0f}s, "
               f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", file=sys.stderr)
@@ -134,6 +136,7 @@ def compare_twins(*, backbone: str, h: int, w: int, bs: int, n_pool: int,
         "n_steps": n_steps,
         "n_buckets": n_buckets,
         "edges": edges,
+        "dither": dither,
         "data_seed": data_seed,
         "loss_start_sort": float(l_sort[0]),
         "loss_final_sort": float(np.mean(l_sort[-tail:])),
@@ -157,6 +160,9 @@ def main():
     ap.add_argument("--edges", type=str, default="uniform",
                     help="bucket-edge mode: uniform | adaptive | adaptiveN "
                          "(N = octave count, losses/bucket_edges.py)")
+    ap.add_argument("--dither", action="store_true",
+                    help="per-step stochastic bucket assignment on the "
+                         "bucket arm (lovasz_dither, losses/bucket_edges.py)")
     ap.add_argument("--seed", type=int, default=0,
                     help="data seed (multi-seed twins tighten the tail-mean "
                          "sigma; VERDICT r4 weak #1)")
@@ -167,12 +173,13 @@ def main():
         r = compare_twins(backbone="resnet18", h=64, w=128, bs=4, n_pool=8,
                           n_steps=args.steps or 30, n_buckets=args.buckets,
                           pad=False, lr=1e-3, edges=args.edges,
-                          data_seed=args.seed)
+                          data_seed=args.seed, dither=args.dither)
     else:
         # the bench workload: OCRNet-R50-os8, 540x960 (padded 544), bs 8
         r = compare_twins(backbone="resnet50", h=540, w=960, bs=8, n_pool=32,
                           n_steps=args.steps or 200, n_buckets=args.buckets,
-                          lr=1e-4, edges=args.edges, data_seed=args.seed)
+                          lr=1e-4, edges=args.edges, data_seed=args.seed,
+                          dither=args.dither)
     out = json.dumps(r)
     print(out)
     if args.out:
