@@ -28,16 +28,23 @@ def _warn_bucket_dial(cfg: dict) -> None:
     3-seed 200-step trajectory twins at B=256 measured a consistently
     positive bucket-minus-sort tail gap of +0.017 +- 0.008 (~2-4% of the
     loss; PERF.md 4.2.1) — small but not noise. B>=1024 is the verified
-    flagship default; adaptive (log) edges measured WORSE and do not lift
-    the warning (PERF.md 4.2)."""
+    flagship default. Neither measured variant lifts the warning: adaptive
+    (log) edges were WORSE (PERF.md 4.2), and per-step dither
+    (`lovasz_dither`) kills the bias SIGN but widens the per-seed tail
+    spread to +-0.06 (PERF.md 4.2.2)."""
     b = int(cfg.get("lovasz_buckets", 2048))
     if cfg.get("lovasz_impl") == "bucket" and b < 1024:
         import warnings
+        if cfg.get("lovasz_dither", False):
+            detail = ("3-seed dithered trajectory gap at B=256: "
+                      "+0.020 +- 0.062, zero-mean but high-variance — "
+                      "PERF.md 4.2.2")
+        else:
+            detail = ("3-seed measured trajectory gap at B=256: "
+                      "+0.017 +- 0.008, ~2-4% of loss — PERF.md 4.2.1")
         warnings.warn(
             f"lovasz_buckets={b} < 1024 leaves the twin-verified envelope "
-            "(3-seed measured trajectory gap at B=256: +0.017 +- 0.008, "
-            "~2-4% of loss — PERF.md 4.2.1); use >=1024 for the verified "
-            "recipe", stacklevel=2)
+            f"({detail}); use >=1024 for the verified recipe", stacklevel=2)
 
 
 def _dither_seed_of(cfg: dict, step):

@@ -29,3 +29,16 @@ def test_sort_vs_bucket_short_horizon_twins():
     # both runs make progress below the start value within the horizon
     assert min(r["losses_sort"][4:]) < r["losses_sort"][0] - 0.01
     assert min(r["losses_bucket"][4:]) < r["losses_bucket"][0] - 0.01
+
+
+def test_sort_vs_dithered_bucket_short_horizon_twins():
+    """Same guard with the per-step dither active on the bucket arm
+    (lovasz_dither; chip-scale evidence in PERF.md §4.2.2): the dithered
+    B=256 twin must track the sort twin over a short horizon and learn."""
+    from trajectory_twins import compare_twins
+    r = compare_twins(backbone="resnet18", h=64, w=128, bs=4, n_pool=8,
+                      n_steps=8, n_buckets=256, pad=False, lr=1e-3,
+                      dither=True)
+    assert abs(r["losses_sort"][0] - r["losses_bucket"][0]) < 4e-3
+    assert r["max_abs_loss_divergence"] < 0.08, r
+    assert min(r["losses_bucket"][4:]) < r["losses_bucket"][0] - 0.01
