@@ -83,6 +83,28 @@ def main():
             x, lbl, classes_to_ignore=17, n_buckets=1024)))(lg)
         assert jnp.isfinite(v) and jnp.isfinite(g).all()
 
+    def dither():
+        # per-step dithered bucket assignment (lovasz_dither): seed-
+        # deterministic, seed-sensitive, finite grads, close to undithered
+        from miccai2021_cataract_semantic_segmentation_tpu.losses.fused_lovasz import (
+            fused_two_scale_bucket_lovasz_s8)
+        li = jnp.asarray(rng.normal(0, 2, (bs, h // 8, w // 8, c)), jnp.float32)
+        lf = jnp.asarray(rng.normal(0, 2, (bs, h // 8, w // 8, c)), jnp.float32)
+        lbl = jnp.asarray(rng.integers(0, 18, (bs, h, w)), jnp.int32)
+        f = jax.jit(lambda a, b, l, s: fused_two_scale_bucket_lovasz_s8(
+            a, b, l, 0.4, 1.0, classes_to_ignore=17, n_buckets=256,
+            dither_seed=s))
+        v5, v5b = float(f(li, lf, lbl, jnp.int32(5))), float(f(li, lf, lbl, jnp.int32(5)))
+        v6 = float(f(li, lf, lbl, jnp.int32(6)))
+        v0 = float(jax.jit(lambda a, b, l: fused_two_scale_bucket_lovasz_s8(
+            a, b, l, 0.4, 1.0, classes_to_ignore=17,
+            n_buckets=256))(li, lf, lbl))
+        assert v5 == v5b and v5 != v6 and abs(v5 - v0) < 5e-3, (v5, v6, v0)
+        g = jax.jit(jax.grad(lambda a: fused_two_scale_bucket_lovasz_s8(
+            a, lf, lbl, 0.4, 1.0, classes_to_ignore=17, n_buckets=256,
+            dither_seed=7)))(li)
+        assert jnp.isfinite(g).all()
+
     def v1_and_sort():
         logits = jnp.asarray(rng.normal(0, 2, (bs, h, w, c)), jnp.float32)
         lbl = jnp.asarray(rng.integers(0, 18, (bs, h, w)), jnp.int32)
@@ -148,6 +170,8 @@ def main():
 
     check("fused two-scale bucket Lovász (540 rows + all-ignore)", two_scale)
     check("fused single-scale bucket Lovász (odd sizes)", single_odd)
+    check("dithered bucket assignment (lovasz_dither, seed determinism)",
+          dither)
     check("v1 bucket + exact sort Lovász (full-res)", v1_and_sort)
     check("DenseContrastive V1+V2 wrapper (CaDIS shapes + all-ignore)",
           dense_contrastive)
